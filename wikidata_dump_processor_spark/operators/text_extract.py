@@ -1,0 +1,163 @@
+"""Deterministic, byte-identical page-text extraction.
+
+Re-implements the reference's XML page state machine — states
+0 (outside) -> 1 (<page>) -> 2 (<revision>) -> 3 (text body), flush on
+</page> — with its exact edge cases (all cites into /root/reference):
+
+* namespace catalog rows in state 0        (wkt1.pl:176-180)
+* <page> opens a frame                     (wkt1.pl:182-189)
+* <title>/<ns>/<id> captured in state 1, last-wins (wkt1.pl:200-203)
+* </revision> returns to state 1           (wkt1.pl:207-210)
+* empty text ``<text xml:space="preserve" */>``   (wkt1.pl:216-218)
+* single-line ``<text ...>body</text>`` — the close tag is *removed
+  wherever it appears* and state stays 2   (wkt1.pl:224-229)
+* multi-line body: a line matching ``^(.*)</text>$`` contributes only the
+  fragment before the close                (wkt1.pl:239-246)
+* rev <id>/<sha1> captured in state 2      (wkt1.pl:248-251)
+* body lines joined with "\\n"             (wkt1.pl:255, join of @text)
+
+The state machine is inherently imperative, so it runs as an Arrow-batched
+``mapInPandas`` over the ``html:binary`` column — the only Python in the
+scan path (input_hint: vectorized pandas/Arrow UDFs, no per-row Python
+*API*; each batch is processed as a pandas column).
+
+At 100 TB this operator is a narrow map: no shuffle, html/text columns are
+pruned at the parquet/Iceberg scan, and parallelism equals input splits.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..schemas import EXTRACTED_SCHEMA
+
+# Anchored exactly like the reference's m#^\s*...# patterns.
+_RE_NAMESPACE = re.compile(r'\s*<namespace key="([\-\d]+)" case="([^"]+)">([^"]*)</namespace>')
+_RE_PAGE_OPEN = re.compile(r"\s*<page>")
+_RE_PAGE_CLOSE = re.compile(r"\s*</page>")
+_RE_REVISION_OPEN = re.compile(r"\s*<revision>")
+_RE_REVISION_CLOSE = re.compile(r"\s*</revision>")
+_RE_FRAME_FIELD = re.compile(r"\s*<(title|ns|id)>([^<]+)</.+>")
+_RE_TEXT_EMPTY = re.compile(r'\s*<text xml:space="preserve" */>')
+_RE_TEXT_OPEN = re.compile(r'\s*<text xml:space="preserve">(.*)')
+_RE_REV_FIELD = re.compile(r"\s*<(id|sha1)>([^<]+)</.+>")
+_RE_TEXT_CLOSE_EOL = re.compile(r"(.*)</text>$", re.DOTALL)
+
+
+def extract_page(doc: str) -> dict:
+    """Run the wkt1.pl:153-295 state machine over one page document.
+
+    Returns the first flushed page frame:
+    ``{title, ns, id, rev_id, rev_sha1, text, namespaces}`` — ``text`` is
+    the byte-exact body ("\\n"-joined fragments), None if no page flushed.
+    """
+    state = 0
+    frame: dict = {}
+    text: list[str] = []
+    namespaces: list[dict] = []
+    flushed = None
+    for line in doc.split("\n"):
+        if state == 0:
+            m = _RE_NAMESPACE.match(line)
+            if m:
+                namespaces.append(
+                    {"ns_id": m.group(1), "ns_case": m.group(2), "ns_name": m.group(3)}
+                )
+            elif _RE_PAGE_OPEN.match(line):
+                state = 1
+                frame = {}
+        elif state == 1:
+            if _RE_PAGE_CLOSE.match(line):
+                state = 0
+                flushed = frame
+                break  # one page per document in the pages table
+            elif _RE_REVISION_OPEN.match(line):
+                state = 2
+                text = []
+            else:
+                m = _RE_FRAME_FIELD.match(line)
+                if m:
+                    frame[m.group(1)] = m.group(2)  # last-wins (wkt1.pl:203)
+        elif state == 2:
+            if _RE_REVISION_CLOSE.match(line):
+                state = 1
+            elif _RE_TEXT_EMPTY.match(line):
+                state = 1  # empty text: @text stays [] (wkt1.pl:216-218)
+            else:
+                m = _RE_TEXT_OPEN.match(line)
+                if m:
+                    t = m.group(1)
+                    # perl: $state = ($t =~ s#</text>##) ? 2 : 3 — remove
+                    # the FIRST close-tag occurrence anywhere (wkt1.pl:224)
+                    if "</text>" in t:
+                        t = t.replace("</text>", "", 1)
+                        state = 2
+                    else:
+                        state = 3
+                    text = [t]
+                else:
+                    m = _RE_REV_FIELD.match(line)
+                    if m:
+                        frame["rev_" + m.group(1)] = m.group(2)
+        elif state == 3:
+            m = _RE_TEXT_CLOSE_EOL.match(line)
+            if m:
+                text.append(m.group(1))  # line fragment (wkt1.pl:241)
+                state = 2
+            else:
+                text.append(line)
+    if flushed is None:
+        return {"namespaces": namespaces, "text": None}
+    flushed["namespaces"] = namespaces
+    flushed["text"] = "\n".join(text)
+    return flushed
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("url", "warc_ts", "lang", "title", "page_ns",
+                               "page_id", "rev_id", "rev_sha1", "text", "diag")}
+        for url, ts, html, pre_text, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+        ):
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["lang"].append(lang)
+            title = ns = pid = rid = rsha = None
+            diag = None
+            text = pre_text if isinstance(pre_text, str) else None
+            if html is not None:
+                try:
+                    doc = bytes(html).decode("utf-8")
+                except UnicodeDecodeError as e:  # skip-and-log (wdq1.pl:497-503)
+                    doc, diag = None, f"utf8: {e}"
+                if doc is not None:
+                    fr = extract_page(doc)
+                    title, ns, pid = fr.get("title"), fr.get("ns"), fr.get("id")
+                    rid, rsha = fr.get("rev_id"), fr.get("rev_sha1")
+                    extracted = fr.get("text")
+                    if extracted is None:
+                        diag = diag or "no <page> flushed"
+                    # extraction wins over a pre-filled text column: the
+                    # invariant is byte-identical text *from html* per url
+                    text = extracted if extracted is not None else text
+            elif text is None:
+                diag = "no html and no text"
+            for k, v in (("title", title), ("page_ns", ns), ("page_id", pid),
+                         ("rev_id", rid), ("rev_sha1", rsha), ("text", text),
+                         ("diag", diag)):
+                out[k].append(v)
+        yield pd.DataFrame(out)
+
+
+def extract_text(pages_df):
+    """pages(url, warc_ts, html, text, lang) -> EXTRACTED_SCHEMA DataFrame.
+
+    Narrow map, Arrow-batched; html column is read only here and dropped
+    immediately after (column pruning keeps it out of every later stage).
+    """
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    return pages_df.select(*cols).mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
