@@ -1,0 +1,130 @@
+"""Mention detection, entity linking, connected-components canonicalization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark import datagen
+from wikidata_dump_processor_spark.operators import triples as TR
+from wikidata_dump_processor_spark.operators.canonicalize import (
+    canonical_map,
+    connected_components,
+    identifier_edges,
+    rewrite_triples,
+)
+from wikidata_dump_processor_spark.operators.linking import (
+    link_mentions,
+    unlinked_mentions,
+)
+from wikidata_dump_processor_spark.operators.mentions import AhoCorasick, detect_mentions
+from wikidata_dump_processor_spark.operators.text_extract import extract_text
+
+
+def test_ahocorasick_matches():
+    ac = AhoCorasick(["vienna", "university of vienna", "na"])
+    hits = ac.find("university of vienna")
+    pats = {p for _, _, p in hits}
+    assert "university of vienna" in pats and "vienna" in pats and "na" in pats
+    # positions are correct
+    assert (14, 20, "vienna") in hits and (0, 20, "university of vienna") in hits
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    n = 300
+    pages = datagen.gen_pages(spark, n)
+    ext = extract_text(pages).cache()
+    aliases = datagen.gen_aliases(spark)
+    return ext, aliases
+
+
+def test_detect_mentions_longest_leftmost(spark):
+    aliases = datagen.gen_aliases(spark)
+    df = spark.createDataFrame(
+        [("u1", "I study at the University of Vienna every day"),
+         ("u2", "viennas is not vienna but Vienna is")],
+        "url string, text string",
+    )
+    rows = detect_mentions(df, aliases).collect()
+    got = {(r.url, r.surface, r.begin) for r in rows}
+    # longest match wins: 'university of vienna' suppresses inner 'vienna'
+    assert ("u1", "university of vienna", 15) in got
+    assert not any(r.url == "u1" and r.surface == "vienna" for r in rows)
+    # word boundary: 'viennas' does not match; both later viennas do
+    u2 = sorted(r.begin for r in rows if r.url == "u2")
+    assert u2 == [15, 26]
+
+
+def test_link_mentions_scoring_and_determinism(corpus, spark):
+    ext, aliases = corpus
+    catalog = datagen.gen_entity_catalog(spark)
+    mentions = detect_mentions(ext, aliases)
+    linked = link_mentions(mentions, aliases, catalog).cache()
+    assert linked.count() > 0
+    # colliding surface 'vienna' (two candidate qids) resolves to the
+    # mega-entity (higher prior), deterministically
+    v = linked.filter(F.col("surface") == "vienna").select("qid").distinct().collect()
+    assert [r.qid for r in v] == [datagen.MEGA_QID]
+    amb = linked.filter(F.col("surface") == "vienna").first()
+    assert amb.n_candidates == 2
+    # exactly one row per detected mention
+    assert linked.count() == mentions.count()
+
+
+def test_link_mentions_salted_equals_broadcast(corpus, spark):
+    ext, aliases = corpus
+    catalog = datagen.gen_entity_catalog(spark)
+    mentions = detect_mentions(ext, aliases).cache()
+    a = link_mentions(mentions, aliases, catalog, broadcast=True)
+    b = link_mentions(mentions, aliases, catalog, broadcast=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_unlinked_anti_join(spark):
+    aliases = datagen.gen_aliases(spark)
+    df = spark.createDataFrame([("u", "totally unknown surface", 0, 5)],
+                               "url string, surface string, begin int, end int")
+    assert unlinked_mentions(df, aliases).count() == 1
+
+
+def test_connected_components_chain_and_singleton(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("x", "x"), ("y", "x")}
+
+
+def test_canonicalization_on_shared_viaf(spark):
+    n = 300
+    parsed = TR.parse_entities(extract_text(datagen.gen_pages(spark, n)))
+    triples = TR.extract_triples(parsed).cache()
+    edges = identifier_edges(triples)
+    assert edges.count() > 0
+    cmap = canonical_map(triples).cache()
+    # datagen shares P214 'viaf-{3k}' across groups of 3 consecutive human
+    # ids: every group must collapse to its minimum member
+    from wikidata_dump_processor_spark.reference_semantics import golden_triples_for_pages
+    golden = golden_triples_for_pages(n)
+    by_viaf = {}
+    for s, p, o in golden:
+        if p == "P214":
+            by_viaf.setdefault(o, set()).add(s)
+    expected = {}
+    for members in by_viaf.values():
+        canon = min(members, key=lambda q: (len(q), q))
+        for m in members:
+            expected[m] = canon
+    got = {r.id: r.canonical_id for r in cmap.collect()}
+    multi = {m: c for m, c in expected.items() if len(by_viaf) and c != m}
+    assert multi, "fixture must contain at least one real merge group"
+    for m, c in expected.items():
+        if len([x for x in expected.values() if x == c]) > 1:
+            assert got[m] == min(
+                [k for k, v in expected.items() if v == c] + [c]
+            ), (m, c, got.get(m))
+    # rewrite: all merged subjects now carry the canonical id
+    rewritten = rewrite_triples(triples, cmap)
+    subj_set = {r.subj for r in rewritten.select("subj").distinct().collect()}
+    for m, c in multi.items():
+        assert m not in subj_set

@@ -1,0 +1,107 @@
+"""End-to-end pipeline: materialization, lineage+metrics, checkpoint resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark import datagen
+from wikidata_dump_processor_spark.plans.pipeline import MANIFEST, StageManifest, run_pipeline
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def out(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipe"))
+
+
+@pytest.fixture(scope="module")
+def result(spark, out):
+    pages = datagen.gen_pages(spark, N)
+    return run_pipeline(
+        spark, pages, datagen.gen_aliases(spark), out,
+        datagen.gen_entity_catalog(spark), fingerprint=f"n={N}",
+    )
+
+
+def test_all_tables_materialized(result, out):
+    for t in ["triples", "items", "props", "mentions", "canonical_triples", "nodes"]:
+        assert result[t].count() > 0, t
+        assert os.path.exists(os.path.join(out, "_pipeline_manifest.json"))
+
+
+def test_triples_partitioned_by_pred(out):
+    # P####.tsv model: predicate-partitioned layout -> partition pruning
+    parts = [d for d in os.listdir(os.path.join(out, "triples")) if d.startswith("pred=")]
+    assert "pred=P31" in parts and len(parts) > 3
+
+
+def test_manifest_lineage_metrics(out):
+    m = json.load(open(os.path.join(out, MANIFEST)))
+    assert set(m) >= {"extract", "triples", "items", "props", "mentions", "canonical", "nodes"}
+    for stage, entry in m.items():
+        assert entry["metrics"]["rows"] >= 0
+        assert entry["fingerprint"] == f"n={N}"
+        # per-partition row counts present (north_rule lineage+metrics)
+        assert isinstance(entry["metrics"]["partitions"], dict)
+
+
+def test_resume_skips_completed_stages(spark, out, result):
+    # kill-and-rerun (SURVEY.md §5 item 5): same fingerprint -> stage
+    # outputs are reused; committed_at timestamps must not change
+    before = json.load(open(os.path.join(out, MANIFEST)))
+    res2 = run_pipeline(
+        spark, datagen.gen_pages(spark, N), datagen.gen_aliases(spark), out,
+        datagen.gen_entity_catalog(spark), fingerprint=f"n={N}",
+    )
+    after = json.load(open(os.path.join(out, MANIFEST)))
+    for stage in before:
+        assert after[stage]["committed_at"] == before[stage]["committed_at"], stage
+    assert res2["triples"].count() == result["triples"].count()
+
+
+def test_partial_resume_recomputes_missing_stage(spark, out):
+    # simulate a crash after stage 2: drop 'canonical' + 'nodes' snapshots
+    man_path = os.path.join(out, MANIFEST)
+    m = json.load(open(man_path))
+    before_triples = m["triples"]["committed_at"]
+    shutil.rmtree(os.path.join(out, "canonical_triples"))
+    for s in ["canonical", "nodes"]:
+        m.pop(s)
+    json.dump(m, open(man_path, "w"))
+    res = run_pipeline(
+        spark, datagen.gen_pages(spark, N), datagen.gen_aliases(spark), out,
+        datagen.gen_entity_catalog(spark), fingerprint=f"n={N}",
+    )
+    m2 = json.load(open(man_path))
+    assert m2["triples"]["committed_at"] == before_triples  # untouched
+    assert "canonical" in m2 and "nodes" in m2  # recomputed
+    assert res["canonical_triples"].count() > 0
+
+
+def test_fingerprint_change_invalidates(spark, out):
+    man = StageManifest(out)
+    assert man.done("triples", f"n={N}")
+    assert not man.done("triples", "n=999")
+
+
+def test_canonical_subjects_are_merged(result, spark, out):
+    # merged humans (shared VIAF) never appear as subjects post-rewrite.
+    # re-read from disk: earlier resume tests rewrote the snapshot files.
+    tr = result["triples"].select("subj", "pred", "obj")
+    cano = spark.read.parquet(os.path.join(out, "canonical_triples"))
+    viaf_groups = (
+        tr.filter(F.col("pred") == "P214")
+        .groupBy("obj").agg(F.collect_set("subj").alias("m"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert viaf_groups
+    cano_subjects = {r.subj for r in cano.select("subj").distinct().collect()}
+    for g in viaf_groups:
+        members = sorted(g.m, key=lambda q: (len(q), q))
+        for loser in members[1:]:
+            assert loser not in cano_subjects

@@ -1,0 +1,138 @@
+"""Canonicalization: connected components over shared-identifier edges.
+
+The reference merges person records through shared authority-control
+identifiers (P213/P214/P227/P244/P496/P6782 — wdq1.pl:434-437, 599-633;
+person table keyed by them in wdq3.pl:21-23,102-104).  Two entities
+claiming the same VIAF/GND/... value are the same real-world node.  That
+is exactly a connected-components problem over the bipartite
+(entity)-(identifier) graph; the north_rule asks for the scalable
+large-star/small-star formulation (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) as iterative DataFrame jobs.
+
+Scale notes:
+* edges are (src,dst) string ids; each iteration is two self-joins +
+  aggregations — all shuffle on the node id, AQE handles skewed stars.
+* lineage truncation: ``localCheckpoint`` every ``checkpoint_interval``
+  iterations, otherwise the plan grows exponentially (SURVEY.md §7.3
+  hard part 3).
+* convergence check is a cheap count of changed assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import AUTHCTRL_PRED
+
+
+def identifier_edges(triples: DataFrame, preds: list[str] | None = None) -> DataFrame:
+    """(entity, shared-identifier) -> entity~entity edges: connect every
+    entity to the minimum entity sharing each (pred, obj) identifier —
+    star-shaped edges instead of the quadratic pairwise expansion."""
+    preds = preds or AUTHCTRL_PRED
+    ids = (
+        triples.filter(F.col("pred").isin(preds) & F.col("obj").isNotNull())
+        .select("subj", F.concat_ws("=", "pred", "obj").alias("key"))
+        .distinct()
+    )
+    hub = ids.groupBy("key").agg(F.min("subj").alias("hub"), F.count(F.lit(1)).alias("n"))
+    return (
+        ids.join(hub.filter(F.col("n") > 1), "key")
+        .filter(F.col("subj") != F.col("hub"))
+        .select(F.col("subj").alias("src"), F.col("hub").alias("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: for each node, connect every strictly-larger neighbor
+    to the minimum of the neighborhood (incl. self)."""
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nbr = und.groupBy("src").agg(F.min(F.least("dst", "src")).alias("m"), F.collect_set("dst").alias("ns"))
+    return (
+        nbr.select("src", "m", F.explode("ns").alias("v"))
+        .filter(F.col("v") > F.col("src"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: orient edges to the smaller endpoint, connect all
+    smaller-or-equal neighbors to the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    nbr = oriented.groupBy("src").agg(
+        F.min(F.least("dst", "src")).alias("m"), F.collect_set("dst").alias("ns")
+    )
+    return (
+        nbr.select("src", "m", F.explode(F.array_union("ns", F.array("src"))).alias("v"))
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """edges(src, dst) -> (id, component) where component is the minimum
+    node id of the component.  Alternates large-star/small-star until the
+    edge set is a fixpoint of stars (every node points to its component
+    min)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    for it in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        if (it + 1) % checkpoint_interval == 0:
+            # truncate lineage: the plan doubles per iteration otherwise
+            e2 = e2.localCheckpoint(eager=True)
+        # converged when the edge set is stable (both directions checked;
+        # exceptAll().limit(1) short-circuits after the first difference)
+        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if changed == 0:
+            break
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    assign = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return (
+        nodes.join(assign, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+        .distinct()
+    )
+
+
+def canonical_map(triples: DataFrame, preds: list[str] | None = None) -> DataFrame:
+    """Full canonicalization map: (id, canonical_id) for every subject
+    seen in the triples; singletons map to themselves."""
+    edges = identifier_edges(triples, preds)
+    cc = connected_components(edges)
+    subs = triples.select(F.col("subj").alias("id")).distinct()
+    return subs.join(cc, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("canonical_id")
+    )
+
+
+def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite subjects (and entity-valued objects) through the resolution
+    map — the J4-style lookup join (cntprops.pl:64-77 model).  The map is
+    usually small relative to triples; broadcast when it fits."""
+    subj_map = cmap.select(F.col("id").alias("subj"), F.col("canonical_id").alias("_cs"))
+    obj_map = cmap.select(F.col("id").alias("obj"), F.col("canonical_id").alias("_co"))
+    out = (
+        triples.join(F.broadcast(subj_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+            "src_url",
+        )
+    )
+    return out

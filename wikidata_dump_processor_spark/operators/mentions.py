@@ -1,0 +1,121 @@
+"""Dictionary + alias-trie mention detection over page text.
+
+Generalizes the reference's single hard-coded substring scan
+(wdq1.pl:391, 636-653 — 'Punivie') into a multi-pattern Aho-Corasick
+scan driven by the alias table (whose source model is the reference's
+labels/aliases export, wdq1.pl:171-174, 770-780).
+
+Scale design: the automaton is built ONCE from the collected alias list
+and shipped to executors as a Spark broadcast variable; the scan runs as
+an Arrow-batched ``mapInPandas`` (north_rule: no per-row Python API).
+The alias table is a dimension (10^6-10^7 surfaces is fine to broadcast —
+tens of MB); page text is never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schemas import MENTIONS_SCHEMA
+
+
+class AhoCorasick:
+    """Minimal deterministic Aho-Corasick automaton (word-boundary-aware
+    matching is applied by the caller).  Pure python, built driver-side
+    once; lookup is O(len(text))."""
+
+    def __init__(self, patterns: list[str]):
+        # goto/fail/output tables over a dict-based trie
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for pat in sorted(set(patterns)):
+            if not pat:
+                continue
+            node = 0
+            for ch in pat:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(pat)
+        # BFS failure links
+        q = deque()
+        for ch, nxt in self.goto[0].items():
+            self.fail[nxt] = 0
+            q.append(nxt)
+        while q:
+            r = q.popleft()
+            for ch, u in self.goto[r].items():
+                q.append(u)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[u] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != u else 0
+                self.out[u] = self.out[u] + self.out[self.fail[u]]
+
+    def find(self, text: str) -> list[tuple[int, int, str]]:
+        """All (begin, end, pattern) matches."""
+        res = []
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for pat in self.out[node]:
+                res.append((i - len(pat) + 1, i + 1, pat))
+        return res
+
+
+def _word_bounded(text: str, b: int, e: int) -> bool:
+    before = text[b - 1] if b > 0 else " "
+    after = text[e] if e < len(text) else " "
+    return not before.isalnum() and not after.isalnum()
+
+
+def detect_mentions(pages_text: DataFrame, aliases: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, text) x alias dictionary -> (url, surface, begin, end).
+
+    Matching is case-insensitive (the stored ``surface`` is the lowercased
+    alias) and word-bounded.  Overlapping matches: longest-leftmost wins
+    (standard dictionary-linking behavior).
+    """
+    spark = pages_text.sparkSession
+    alias_list = [r.alias.lower() for r in aliases.select("alias").distinct().collect()]
+    bc = spark.sparkContext.broadcast(alias_list)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = AhoCorasick(bc.value)  # built once per python worker per task
+        for pdf in batches:
+            urls, surfaces, begins, ends = [], [], [], []
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                if not isinstance(text, str) or not text:
+                    continue
+                low = text.lower()
+                matches = [
+                    (b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)
+                ]
+                # longest-leftmost: sort by (begin, -len), drop overlaps
+                matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+                last_end = -1
+                for b, e, p in matches:
+                    if b < last_end:
+                        continue
+                    last_end = e
+                    urls.append(url)
+                    surfaces.append(p)
+                    begins.append(b)
+                    ends.append(e)
+            yield pd.DataFrame(
+                {"url": urls, "surface": surfaces, "begin": begins, "end": ends}
+            )
+
+    return pages_text.select("url", text_col).mapInPandas(scan, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,58 @@
+"""Explicit skew handling: key salting for joins and two-phase aggregation.
+
+The reference acknowledges key skew with its cardinality-adaptive index
+layout (list vs bitmap at use_cnt >= 800_000, cntprops.pl:16, 68-77).  In
+Spark, AQE skew-join splitting covers sort-merge joins; these helpers cover
+the remaining cases the north_rule calls out (head domains, mega-entities):
+
+* ``salted_join``: N-way replicate the small/dim side, salt the skewed fact
+  side — turns one hot-key partition into ``num_salts`` partitions.
+* ``two_phase_count``: partial aggregation on (key, salt) then re-aggregate
+  on key — bounded partition size for hot keys even without AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from the row (no rand(): reproducible)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    )
+
+
+def explode_salts(df: DataFrame, num_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Replicate every row once per salt value (build/dim side)."""
+    return df.withColumn(
+        col_name, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``fact`` has skewed join keys: fact rows get a
+    deterministic salt, dim rows are replicated ``num_salts`` times, and
+    the join key becomes (on..., _salt).  Use when the dim side is too big
+    to broadcast but the fact side has mega-keys."""
+    f = with_salt(fact, num_salts)
+    d = explode_salts(dim, num_salts)
+    out = f.join(d, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def two_phase_count(df: DataFrame, key_cols: list[str], num_salts: int = 16) -> DataFrame:
+    """groupBy(key).count() with bounded per-partition key width: partial
+    count on (key, salt), final sum on key.  (Spark's hash aggregate
+    already does map-side partials; the explicit salt additionally bounds
+    the *reduce*-side partition for mega-keys when AQE is off.)"""
+    salted = with_salt(df, num_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))

@@ -52,9 +52,10 @@ def parse_entities(extracted: DataFrame, payload_col: str = "text") -> DataFrame
         "url",
         "warc_ts",
         "lang",
+        "text",
         "raw",
         F.col("e.*"),
-        F.regexp_extract("e.id", r"^[QL](\d+)$", 1).cast("long").alias("id_num"),
+        F.regexp_extract("e.id", r"^[QL](\d+)$", 1).try_cast("long").alias("id_num"),
         F.when(F.col("raw").isNull(), F.coalesce("diag", F.lit("empty payload")))
         .when(F.col("e").isNull() | F.col("e.id").isNull(), F.lit("json parse error"))
         .when(
