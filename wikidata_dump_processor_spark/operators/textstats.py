@@ -1,0 +1,118 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure JVM expressions (no UDFs): these run inside whole-stage codegen
+over the documents table and are designed to survive a 100 TB scan —
+single pass, no shuffle, all columns derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword profiles for n-gram-free language ID
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "los", "es", "de"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, computed arithmetically (portable to any
+    SQL oracle): #spaces in collapsed text + 1."""
+    t = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND punctuation /
+    digit boundaries (a cheap BPE proxy for budget estimation)."""
+    pieces = F.split(text, r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, tokens, mean word length,
+    punctuation ratio, uppercase ratio, stopword ratio, digit ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(t)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            lambda w: w.isin([s for p in LANG_PROFILES.values() for s in p]),
+        )
+    )
+    return docs.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": toks,
+            "mean_word_len": F.when(toks > 0, (n_chars - toks + 1) / toks).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+            "upper_ratio": F.when(n_chars > 0, upper / n_chars).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(toks > 0, stop / toks).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: heuristic blend used for corpus
+    filtering (longer docs with normal punctuation and some stopwords
+    score high)."""
+    f = quality_features(docs, text_col)
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.1
+    )
+    return f.withColumn("quality", F.round(score, 6))
+
+
+def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: language with the most profile-word
+    hits wins; 'und' (undetermined) when no profile matches.
+    Deterministic tie-break by profile order."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    scores = []
+    for lang, prof in LANG_PROFILES.items():
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: w.isin(prof))).alias("hits"),
+                F.lit(len(scores)).alias("orderr"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(
+        F.array(*[
+            F.struct(s.getField("hits").alias("hits"),
+                     (-s.getField("orderr")).alias("pref"),
+                     s.getField("lang").alias("lang"))
+            for s in scores
+        ])
+    )
+    return docs.withColumn(
+        "lang_detected",
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stable document fingerprint: md5 of normalized text (exact-dup key)
+    plus a 64-bit rolling-style content hash (xxhash64 of the normalized
+    token stream) for cheap equality joins."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )
