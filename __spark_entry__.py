@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship KG-construction run (pages -> byte-identical text ->
+triples -> canonicalized graph) on the deterministic synthetic corpus.
+``queries``/``oracle_sql``: operator inventory from SURVEY.md §2 over the
+driver test tables, DuckDB-oracle-checked where ANSI-SQL-expressible;
+KG/trie/variant/iterative operators are rows-only (correctness carried by
+tests/ golden oracle — see tests/test_triples.py P/R gate).
 """
 
 from __future__ import annotations
@@ -13,26 +14,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wikidata_dump_processor_spark.queries_catalog import ORACLE_SQL, SPARK_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction on the sf0.001-scale synthetic
+    corpus; returns the canonicalized (subj, pred, obj, src_url) triples."""
+    from wikidata_dump_processor_spark import datagen
+    from wikidata_dump_processor_spark.operators.canonicalize import (
+        canonical_map,
+        rewrite_triples,
+    )
+    from wikidata_dump_processor_spark.operators.text_extract import extract_text
+    from wikidata_dump_processor_spark.operators.triples import (
+        extract_triples,
+        parse_entities,
+    )
+
+    pages = datagen.gen_pages(spark, datagen.sf_to_n_pages("sf0.001"))
+    triples = extract_triples(parse_entities(extract_text(pages)))
+    return rewrite_triples(triples, canonical_map(triples))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -323,9 +323,10 @@ def gen_entity_catalog(spark):
 
 
 def sf_to_n_pages(sf_dir: str) -> int:
-    """Map a driver sf dir to a deterministic corpus size."""
+    """Map a driver sf dir to a deterministic corpus size.  sf0.1 (bench)
+    is large enough that per-page work dominates fixed job overheads."""
     if "sf0.1" in sf_dir:
-        return 20000
+        return 100000
     if "sf0.01" in sf_dir:
         return 2000
     return 300

@@ -86,17 +86,26 @@ def connected_components(
     min)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
-    for it in range(max_iter):
-        e2 = _small_star(_large_star(e))
-        if (it + 1) % checkpoint_interval == 0:
-            # truncate lineage: the plan doubles per iteration otherwise
-            e2 = e2.localCheckpoint(eager=True)
-        # converged when the edge set is stable (both directions checked;
-        # exceptAll().limit(1) short-circuits after the first difference)
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+
+    def _sig(df):
+        # one cheap job: (row count, order-insensitive hash sum) identifies
+        # the edge set; equal signature across an iteration => fixpoint
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # checkpoint every iteration: the signature job below materializes
+        # the result anyway, and un-truncated lineage doubles per round
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _sig(e2)
         e = e2
-        if changed == 0:
+        if sig2 == sig:
             break
+        sig = sig2
     nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     ).distinct()

@@ -150,11 +150,12 @@ def run_pipeline(
         p("triples"), partition_by=["pred"], sort_within=["subj"],
     )
 
+    # items: sorted-within-partition only — repartitionByRange would sample
+    # (= compute the plan twice); the consumer-facing `nodes` table below
+    # gets the globally range-partitioned, id-sorted layout instead.
     items = _write_stage(
         spark, man, "items", fp,
-        lambda: TR.items_table(parsed).repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 1), "id_num"
-        ),
+        lambda: TR.items_table(parsed),
         p("items"), sort_within=["id_num"],
     )
 

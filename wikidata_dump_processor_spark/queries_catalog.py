@@ -1,0 +1,758 @@
+"""Operator-inventory query catalog (SURVEY.md §2) over the driver test
+tables, each with a DuckDB oracle SQL — the correctness gate contract in
+``__spark_entry__.py``.
+
+Conventions for cross-engine hash equality:
+* money math in DECIMAL on both sides (bit-exact, no float drift)
+* dates rendered as 'yyyy-MM-dd' strings
+* every computed column aliased identically in Spark and SQL
+* deterministic ordering/tie-breaks wherever a limit/top-k is involved
+
+KG-pipeline queries (non-SQL-expressible: variant parsing, trie UDFs,
+iterative CC) are registered without an oracle — the driver records a
+rows-only check and pytest carries their correctness (golden oracle,
+P/R gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p=18, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def reg(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY §2.5: A1-A7, A10-A11)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(12,2)) AS sum_qty,
+           sum(l_extendedprice::DECIMAL(14,2)) AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def _q_a1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 12, 2)).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice", 14, 2)).alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 12, 4))
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "a2_event_type_histogram",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def _q_a2(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "a5_watermarks",
+    """
+    SELECT max(o_orderkey) AS max_orderkey,
+           max(o_totalprice::DECIMAL(14,2)) AS max_totalprice,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS min_orderdate,
+           count(*) AS n_orders
+    FROM orders
+    """,
+)
+def _q_a5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.max(_dec("o_totalprice", 14, 2)).alias("max_totalprice"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("min_orderdate"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@q(
+    "a6_top_revenue_parts",
+    """
+    SELECT l_partkey,
+           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4))) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey LIMIT 100
+    """,
+)
+def _q_a6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 12, 4))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "a7_order_size_histogram",
+    """
+    SELECT n_items, count(*) AS n_orders FROM (
+      SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY n_items
+    """,
+)
+def _q_a7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return per.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@q(
+    "a11_multi_lang_sources",
+    """
+    SELECT source, count(DISTINCT lang) AS n_langs FROM documents
+    GROUP BY source HAVING count(DISTINCT lang) > 1
+    """,
+)
+def _q_a11(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.countDistinct("lang").alias("n_langs"))
+        .filter(F.col("n_langs") > 1)
+    )
+
+
+@q(
+    "a3_daily_user_activity",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS cnt,
+           sum(value::DECIMAL(14,4)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _q_a3(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value", 14, 4)).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.4: J1-J6)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_region_revenue",
+    """
+    SELECT r.r_name AS region,
+           count(*) AS n_orders,
+           sum(o.o_totalprice::DECIMAL(14,2)) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def _q_j1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "j2_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def _q_j2(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+@q(
+    "j3_active_customers_per_nation",
+    """
+    SELECT c_nationkey, count(*) AS n_active FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def _q_j3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q(
+    "j4_brand_volume",
+    """
+    SELECT p.p_brand, sum(l.l_quantity::DECIMAL(12,2)) AS sum_qty,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def _q_j4(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@q(
+    "j5_order_details_lookup",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_orderstatus,
+           o.o_totalprice::DECIMAL(14,2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 1000 = 0
+    """,
+)
+def _q_j5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_orderstatus", _dec("o_totalprice", 14, 2).alias("totalprice")
+    )
+
+
+@q(
+    "j6_find_by_segment",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def _q_j6(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters / projections / scalar functions (SURVEY §2.3, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "p7_json_extract_classify",
+    """
+    SELECT CASE WHEN k < 25 THEN 'low' WHEN k < 75 THEN 'mid' ELSE 'high' END AS bucket,
+           count(*) AS cnt, sum(k) AS sum_k
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY 1
+    """,
+)
+def _q_p7(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").try_cast("long").alias("k")
+    )
+    return e.groupBy(
+        F.when(F.col("k") < 25, "low").when(F.col("k") < 75, "mid").otherwise("high").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("sum_k"))
+
+
+@q(
+    "p11_format_validator",
+    """
+    SELECT verdict, count(*) AS cnt FROM (
+      SELECT CASE
+        WHEN regexp_matches(p_brand, '^Brand#[1-9][0-9]?$')
+             AND NOT p_brand IN ('Brand#13','Brand#42') THEN 'good'
+        WHEN p_brand IN ('Brand#13','Brand#42') THEN 'denylisted'
+        ELSE 'bad' END AS verdict
+      FROM part
+    ) GROUP BY verdict
+    """,
+)
+def _q_p11(spark, sf_dir):
+    # model: DOI prefix regex + denylist verdicts (doi-count.pl:12-14,53-141)
+    p = _t(spark, sf_dir, "part")
+    verdict = (
+        F.when(
+            F.col("p_brand").rlike(r"^Brand#[1-9][0-9]?$")
+            & ~F.col("p_brand").isin("Brand#13", "Brand#42"),
+            "good",
+        )
+        .when(F.col("p_brand").isin("Brand#13", "Brand#42"), "denylisted")
+        .otherwise("bad")
+    )
+    return p.select(verdict.alias("verdict")).groupBy("verdict").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "p12_value_format_check",
+    """
+    SELECT lang,
+           sum(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END) AS n_clean,
+           count(*) AS n_total
+    FROM documents GROUP BY lang
+    """,
+)
+def _q_p12(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.when(F.col("text").rlike(r"^[a-z ]+$"), 1).otherwise(0)).alias("n_clean"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@q(
+    "p6_regex_mention_scan",
+    """
+    SELECT doc_id, regexp_extract(text, '(spark [a-z]+)', 1) AS mention
+    FROM documents WHERE regexp_matches(text, 'spark [a-z]+')
+    """,
+)
+def _q_p6(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    m = F.regexp_extract("text", r"(spark [a-z]+)", 1)
+    return d.filter(F.col("text").rlike(r"spark [a-z]+")).select("doc_id", m.alias("mention"))
+
+
+@q(
+    "p8_lang_preference_rank",
+    """
+    SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'ja' THEN 3
+                     WHEN 'it' THEN 4 WHEN 'fr' THEN 5 WHEN 'nl' THEN 6
+                     WHEN 'es' THEN 7 WHEN 'hu' THEN 8 WHEN 'pl' THEN 9
+                     ELSE 10 END AS lang_rank
+    FROM documents
+    """,
+)
+def _q_p8(spark, sf_dir):
+    from .schemas import LANGS
+
+    d = _t(spark, sf_dir, "documents")
+    rank = F.coalesce(
+        F.array_position(F.array(*[F.lit(x) for x in LANGS[:9]]), F.col("lang")).try_cast("int"),
+        F.lit(0),
+    )
+    return d.select(
+        "doc_id", "lang", F.when(rank > 0, rank).otherwise(10).alias("lang_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / windows / set ops (SURVEY §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "o1_sorted_orders",
+    """
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000
+    """,
+)
+def _q_o1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(1000)
+        .select(
+            "o_orderkey", "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+    )
+
+
+@q(
+    "w1_top3_docs_per_source",
+    """
+    SELECT source, doc_id, n_chars, rn FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def _q_w1(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", "rn")
+    )
+
+
+@q(
+    "w2_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice::DECIMAL(14,2))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def _q_w2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice", 14, 2)).over(w).alias("running_spend"),
+    )
+
+
+@q(
+    "s1_union_partners",
+    """
+    SELECT nationkey, count(*) AS n_partners FROM (
+      SELECT c_nationkey AS nationkey, c_name AS name FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey, s_name AS name FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def _q_s1(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_name").alias("name")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_name").alias("name")
+    )
+    return (
+        c.unionByName(s).distinct().groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+
+
+@q(
+    "s6_point_lookup",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (1, 42, 99, 123, 456)
+    """,
+)
+def _q_s6(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(1, 42, 99, 123, 456))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents/embeddings (oracle-checked subset)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d1_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def _q_d1(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "d2_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+    FROM documents
+    """,
+)
+def _q_d2(spark, sf_dir):
+    from .operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@q(
+    "t1_token_counts",
+    """
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN 0
+                ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_tokens
+    FROM (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+    """,
+)
+def _q_t1(spark, sf_dir):
+    from .operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@q(
+    "t2_language_id",
+    """
+    SELECT doc_id,
+      CASE
+        WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        WHEN fr >= es AND fr > 0 THEN 'fr'
+        WHEN es > 0 THEN 'es'
+        ELSE 'und' END AS lang_detected
+    FROM (
+      SELECT doc_id,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','is'))) AS en,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','ist','das'))) AS de,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','est','les'))) AS fr,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','los','es','de'))) AS es
+      FROM documents
+    )
+    """,
+)
+def _q_t2(spark, sf_dir):
+    from .operators.textstats import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_language(d).select("doc_id", "lang_detected")
+
+
+@q(
+    "d3_wordset_jaccard_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, source, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM words a JOIN words b ON a.w = b.w AND a.source = b.source
+                  AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.9
+    """,
+)
+def _q_d3(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w"),
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = words.select(F.col("doc_id").alias("id_a"), "source", "w")
+    b = words.select(F.col("doc_id").alias("id_b"), "source", "w")
+    shared = (
+        a.join(b, ["source", "w"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "n_b"}), "id_b")
+        .filter(
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            >= 0.9
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@q(
+    "v1_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def _q_v1(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# KG-pipeline queries (rows-only: variant parse / trie UDF / iterative CC
+# are not ANSI-SQL-expressible; correctness carried by tests/golden oracle)
+# ---------------------------------------------------------------------------
+
+
+def _kg_parsed(spark, sf_dir):
+    from . import datagen
+    from .operators.text_extract import extract_text
+    from .operators.triples import parse_entities
+
+    pages = datagen.gen_pages(spark, datagen.sf_to_n_pages(sf_dir))
+    return parse_entities(extract_text(pages))
+
+
+@q("kg1_triples")
+def _q_kg1(spark, sf_dir):
+    from .operators.triples import extract_triples
+
+    return extract_triples(_kg_parsed(spark, sf_dir))
+
+
+@q("kg2_text_extraction")
+def _q_kg2(spark, sf_dir):
+    return _kg_parsed(spark, sf_dir).select("url", "text", "ent_diag")
+
+
+@q("kg3_props_catalog")
+def _q_kg3(spark, sf_dir):
+    from .operators.triples import props_catalog
+
+    return props_catalog(_kg_parsed(spark, sf_dir))
+
+
+@q("kg4_items_catalog")
+def _q_kg4(spark, sf_dir):
+    from .operators.triples import items_table
+
+    return items_table(_kg_parsed(spark, sf_dir)).drop("claims_list", "filtered_props")
+
+
+@q("kg5_linked_mentions")
+def _q_kg5(spark, sf_dir):
+    from . import datagen
+    from .operators.linking import link_mentions
+    from .operators.mentions import detect_mentions
+
+    parsed = _kg_parsed(spark, sf_dir)
+    aliases = datagen.gen_aliases(spark)
+    return link_mentions(
+        detect_mentions(parsed, aliases), aliases, datagen.gen_entity_catalog(spark)
+    )
+
+
+@q("kg6_canonical_components")
+def _q_kg6(spark, sf_dir):
+    from .operators.canonicalize import canonical_map
+    from .operators.triples import extract_triples
+
+    return canonical_map(extract_triples(_kg_parsed(spark, sf_dir)))
+
+
+@q("kg7_all_snak_values_P31")
+def _q_kg7(spark, sf_dir):
+    from .operators.triples import all_snak_values, item_entities
+
+    return all_snak_values(item_entities(_kg_parsed(spark, sf_dir)), "P31")
+
+
+@q("kg8_minhash_near_dups")
+def _q_kg8(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q("kg9_simhash_near_dups")
+def _q_kg9(spark, sf_dir):
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@q("kg10_lsh_topk")
+def _q_kg10(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8)
+
+
+@q("kg11_image_features")
+def _q_kg11(spark, sf_dir):
+    from .operators.multimodal import gen_media, image_features
+
+    return image_features(gen_media(spark, 200))

@@ -1,0 +1,72 @@
+"""Incremental processing (SURVEY.md §2.9 St1-St8).
+
+The reference's outer loop polls for new dumps, diffs the remote index,
+and runs the batch DAG on each new dump with idempotence guards
+(wdq0.pl:86-115, wdq_fetcher.pl:80-144, wdq0b.pl:62-140).  Nothing is
+event-time; "streaming" is incremental batch over new files.
+
+Spark mapping: a file-source Structured Streaming query with
+``Trigger.AvailableNow`` — process everything new since the checkpoint,
+then stop; re-invoke on any schedule.  State (which files are done) lives
+in the streaming checkpoint, playing the role of the reference's
+PocketBase job queue (St4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import PAGES_SCHEMA
+
+
+def incremental_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    transform=None,
+):
+    """Watch ``input_dir`` for new pages parquet files; apply ``transform``
+    (default: triple extraction) to NEW files only; append to
+    ``output_dir``.  Returns the finished StreamingQuery.
+
+    Trigger.AvailableNow = the reference's --once mode (wdq0.pl:96-100);
+    calling this repeatedly = the polling watch loop (St1), with the
+    checkpoint as the change-detection ledger (St3/St4).
+    """
+    from ..operators.text_extract import extract_text
+    from ..operators.triples import extract_triples, parse_entities
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    out = (transform or (lambda df: extract_triples(parse_entities(extract_text(df)))))(
+        stream
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def new_snapshot_only(spark: SparkSession, path: str, seen_files: set[str]) -> DataFrame:
+    """Batch-side incremental read: only files not in ``seen_files``
+    (Iceberg's incremental snapshot read stood in by file-level diffing —
+    the rcsdiff change detection of wdq_fetcher.pl:90-144)."""
+    import glob
+    import os
+
+    files = [
+        f for f in glob.glob(os.path.join(path, "*.parquet")) if f not in seen_files
+    ]
+    if not files:
+        return spark.createDataFrame([], PAGES_SCHEMA)
+    return spark.read.schema(PAGES_SCHEMA).parquet(*files)
