@@ -47,7 +47,7 @@ def main():
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     timings: dict[str, float] = {}
-    n_pages = datagen.sf_to_n_pages(SF_DIR)
+    n_pages = int(os.environ.get("BENCH_KG_PAGES", "0")) or datagen.sf_to_n_pages(SF_DIR)
 
     # --- KG pipeline: pages -> text -> triples -> canonical graph ---------
     out = tempfile.mkdtemp(prefix="bench_kg_")

@@ -128,3 +128,11 @@ def test_canonicalization_on_shared_viaf(spark):
     subj_set = {r.subj for r in rewritten.select("subj").distinct().collect()}
     for m, c in multi.items():
         assert m not in subj_set
+
+
+def test_regex_and_automaton_kernels_agree(corpus, spark):
+    """Both mention-scan kernels implement the same semantics."""
+    ext, aliases = corpus
+    a = detect_mentions(ext, aliases, force_automaton=False)
+    b = detect_mentions(ext, aliases, force_automaton=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

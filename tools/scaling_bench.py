@@ -24,6 +24,7 @@ def run_once(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ONLY="kg_pipeline",
+        BENCH_KG_PAGES=os.environ.get("SCALING_N", "400000"),
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     out = subprocess.run(
@@ -35,7 +36,7 @@ def run_once(cpus: int) -> dict:
 
 
 def main():
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     results = {8: [], 32: []}
     for _ in range(repeats):
         for cpus in (8, 32):

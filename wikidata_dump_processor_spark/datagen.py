@@ -213,7 +213,9 @@ def page_body_lines(i: int) -> list[str]:
         first = json.dumps(ent, separators=(",", ":"), sort_keys=True)
         if i % 9 == 0:
             first += ","  # trailing comma stripped by scan (wdq1.pl:492)
-    words = [r.choice(_WORDS) for _ in range(r.randint(8, 30))]
+    # Common-Crawl-like body weight: ~150-300 words (~1-2 KB) so per-page
+    # compute (extraction, trie scan) dominates job overhead at bench scale
+    words = [r.choice(_WORDS) for _ in range(r.randint(120, 300))]
     # plant mentions: mega-entity alias in ~20% of pages (skew), one other
     # alias in ~50%
     if i % 5 < 1:
@@ -222,7 +224,7 @@ def page_body_lines(i: int) -> list[str]:
         words.insert(r.randrange(len(words)), _SURFACES[1 + i % (len(_SURFACES) - 1)])
     lines = [first]
     while words:
-        take = min(len(words), r.randint(4, 9))
+        take = min(len(words), r.randint(6, 12))
         lines.append(" ".join(words[:take]))
         words = words[take:]
     return lines

@@ -1,0 +1,115 @@
+"""Cross-catalog operators: person table (wdq3) and the GeoNames x GND
+join (geonames.pl) + the per-property inverted index (cntprops.pl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# wdq3.pl:21-23: authctrl.tsv column properties
+PERSON_PROPS = ["P213", "P214", "P227", "P244", "P496", "P19", "P20", "P21", "P31"]
+PERSON_LABEL_LANGS = ["en", "de", "fr", "it"]
+
+
+def person_table(authctrl: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """wdq3.pl:102-205: humans (P31 == Q5) from the authority records,
+    one column per authority property, language-projected labels, and
+    P569x/P570x = the raw time string parsed out of the JSON-encoded time
+    struct (get_time, wdq3.pl:185-204)."""
+    df = authctrl.filter(F.col("p31") == "Q5")
+    m = F.coalesce(F.col("authctrl_props"), F.create_map())
+    cols = [F.col("id"), F.col("p31").alias("P31")]
+    for p in PERSON_PROPS:
+        if p == "P31":
+            continue
+        cols.append(F.element_at(m, p).alias(p))
+    cols.append(F.get_json_object(F.element_at(m, "P569"), "$.time").alias("P569x"))
+    cols.append(F.get_json_object(F.element_at(m, "P570"), "$.time").alias("P570x"))
+    out = df.select(*cols)
+    if labels is not None:
+        lab = labels.select(
+            "id", *[F.col(f"label_{lang}").alias(f"tlt_{lang}") for lang in PERSON_LABEL_LANGS]
+        )
+        out = out.join(lab, "id", "left")
+    return out
+
+
+def parse_wikidata_time(time_col) -> tuple:
+    """Wikidata time strings allow +/- years and precision-truncated
+    parts ('+1952-03-11T00:00:00Z', precision 11) — year-0 and month-0
+    oddities mean they don't always parse as timestamps (SURVEY.md §2.8).
+    Returns (year:long, parsed_ts nullable timestamp)."""
+    year = F.regexp_extract(time_col, r"^([+-]\d+)-", 1).try_cast("long")
+    # parsed timestamp only for CE years: Spark's proleptic calendar holds
+    # year -44, but Python datetime cannot represent it at collect time —
+    # BCE dates stay available through the signed `year` column
+    ts = F.when(
+        year >= 1,
+        F.try_to_timestamp(
+            F.regexp_replace(time_col, r"^\+", ""), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+        ),
+    )
+    return year, ts
+
+
+def geonames_gnd_join(triples: DataFrame, items: DataFrame) -> DataFrame:
+    """geonames.pl:12-15,54-85: inner join of GeoNames ids (P1566) with GND
+    ids (P227) on the item id, projecting the item's preferred (lang,
+    label).  The reference's duplicate handling is hash-overwrite
+    last-wins (geonames.pl:73) — here an explicit deterministic pick of
+    the max obj per (subj, pred) (SURVEY.md §7.3 hard part 4)."""
+
+    def side(pred: str) -> DataFrame:
+        d = triples.filter(F.col("pred") == pred).select("subj", "obj")
+        # deterministic last-wins: keep max obj per subject
+        return d.groupBy("subj").agg(F.max("obj").alias(f"{pred}_val"))
+
+    lab = items.select(
+        F.col("id").alias("subj"),
+        F.col("lang").alias("pref_lang"),
+        F.col("label").alias("pref_label"),
+    )
+    p1566, p227 = side("P1566"), side("P227")
+    return (
+        p1566.join(p227, "subj")  # inner: emit requires both (geonames.pl:40,71)
+        .join(lab, "subj", "left")
+        .select(
+            F.col("subj").alias("id"),
+            F.col("pref_lang").alias("P1566_lang"),
+            F.col("pref_label").alias("P1566_label"),
+            "P1566_val",
+            F.col("pref_lang").alias("P227_lang"),
+            F.col("pref_label").alias("P227_label"),
+            "P227_val",
+        )
+    )
+
+
+def inverted_index(
+    triples: DataFrame, props: DataFrame, hot_threshold: int = 800_000
+) -> DataFrame:
+    """cntprops.pl:16,54-134: per-property subject index with the
+    cardinality-adaptive layout decision surfaced as a column.
+
+    The reference streams hot properties (use_cnt >= 800k) to files and
+    bitmap-compresses them, keeping rare ones in memory.  Columnar Spark
+    needs one layout — (pred, sorted subject array) — but the hot/cold
+    routing survives as ``layout`` ('bitmap' vs 'list'), the signal a
+    downstream writer uses to partition hot predicates into their own
+    files (and the AQE skew-split handles them in joins)."""
+    per_pred = (
+        triples.select("pred", "subj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.array_sort(F.collect_set("subj")).alias("subjects"), F.count(F.lit(1)).alias("n"))
+    )
+    use = props.select(F.col("prop").alias("pred"), "use_cnt")
+    return per_pred.join(use, "pred", "left").select(
+        "pred",
+        "n",
+        F.when(F.coalesce("use_cnt", F.col("n")) >= hot_threshold, "bitmap")
+        .otherwise("list")
+        .alias("layout"),
+        "subjects",
+    )

@@ -14,6 +14,7 @@ tens of MB); page text is never shuffled.
 
 from __future__ import annotations
 
+import re
 from collections import deque
 from collections.abc import Iterator
 
@@ -81,39 +82,73 @@ def _word_bounded(text: str, b: int, e: int) -> bool:
     return not before.isalnum() and not after.isalnum()
 
 
-def detect_mentions(pages_text: DataFrame, aliases: DataFrame, text_col: str = "text") -> DataFrame:
+# Above this many aliases, a single compiled alternation regex becomes
+# slow to compile / match; fall back to the Aho-Corasick automaton.
+REGEX_DICT_LIMIT = 5000
+
+
+def _compiled_alternation(patterns: list[str]):
+    """Longest-first alternation with word boundaries: Python's regex engine
+    picks the first alternative that matches at a position, so sorting by
+    length desc gives longest-leftmost; non-overlap comes from finditer."""
+    ordered = sorted(set(patterns), key=lambda p: (-len(p), p))
+    return re.compile(
+        r"(?<![0-9A-Za-z])(" + "|".join(re.escape(p) for p in ordered) + r")(?![0-9A-Za-z])"
+    )
+
+
+def detect_mentions(
+    pages_text: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    force_automaton: bool = False,
+) -> DataFrame:
     """(url, text) x alias dictionary -> (url, surface, begin, end).
 
     Matching is case-insensitive (the stored ``surface`` is the lowercased
     alias) and word-bounded.  Overlapping matches: longest-leftmost wins
     (standard dictionary-linking behavior).
+
+    Two kernels behind the same semantics: a compiled alternation regex
+    (C-speed, default for dictionaries up to REGEX_DICT_LIMIT surfaces)
+    and the Aho-Corasick automaton (linear in text, for web-scale alias
+    dictionaries).  Both run inside the same Arrow-batched mapInPandas.
     """
     spark = pages_text.sparkSession
     alias_list = [r.alias.lower() for r in aliases.select("alias").distinct().collect()]
     bc = spark.sparkContext.broadcast(alias_list)
+    use_regex = (not force_automaton) and len(alias_list) <= REGEX_DICT_LIMIT
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac = AhoCorasick(bc.value)  # built once per python worker per task
+        rx = _compiled_alternation(bc.value) if use_regex else None
+        ac = None if use_regex else AhoCorasick(bc.value)
         for pdf in batches:
             urls, surfaces, begins, ends = [], [], [], []
             for url, text in zip(pdf["url"], pdf[text_col]):
                 if not isinstance(text, str) or not text:
                     continue
                 low = text.lower()
-                matches = [
-                    (b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)
-                ]
-                # longest-leftmost: sort by (begin, -len), drop overlaps
-                matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
-                last_end = -1
-                for b, e, p in matches:
-                    if b < last_end:
-                        continue
-                    last_end = e
-                    urls.append(url)
-                    surfaces.append(p)
-                    begins.append(b)
-                    ends.append(e)
+                if rx is not None:
+                    for m in rx.finditer(low):
+                        urls.append(url)
+                        surfaces.append(m.group(1))
+                        begins.append(m.start(1))
+                        ends.append(m.end(1))
+                else:
+                    matches = [
+                        (b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)
+                    ]
+                    # longest-leftmost: sort by (begin, -len), drop overlaps
+                    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+                    last_end = -1
+                    for b, e, p in matches:
+                        if b < last_end:
+                            continue
+                        last_end = e
+                        urls.append(url)
+                        surfaces.append(p)
+                        begins.append(b)
+                        ends.append(e)
             yield pd.DataFrame(
                 {"url": urls, "surface": surfaces, "begin": begins, "end": ends}
             )

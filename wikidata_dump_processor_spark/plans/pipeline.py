@@ -73,12 +73,28 @@ def _with_lineage(df: DataFrame) -> DataFrame:
 
 
 def _partition_metrics(spark: SparkSession, path: str) -> dict:
-    df = spark.read.parquet(path)
-    rows = df.groupBy("_part_id").count().collect() if "_part_id" in df.columns else []
-    return {
-        "rows": sum(r["count"] for r in rows) if rows else df.count(),
-        "partitions": {str(r["_part_id"]): r["count"] for r in rows},
-    }
+    """Per-file row counts straight from the parquet footers — metadata
+    only, no Spark job.  File-level counts ARE the per-partition lineage
+    (each write task produces one file per output partition)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    per_file = {}
+    try:
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, path)
+            per_file[rel] = pq.read_metadata(f).num_rows
+        return {"rows": sum(per_file.values()), "partitions": per_file}
+    except OSError:
+        # VARIANT logical type footers are unreadable by pyarrow (the
+        # extract stage) — fall back to one Spark job for that stage
+        df = spark.read.parquet(path)
+        rows = df.groupBy("_part_id").count().collect() if "_part_id" in df.columns else []
+        return {
+            "rows": sum(r["count"] for r in rows) if rows else df.count(),
+            "partitions": {str(r["_part_id"]): r["count"] for r in rows},
+        }
 
 
 def _write_stage(
@@ -144,9 +160,14 @@ def run_pipeline(
         p("extracted"),
     )
 
+    # repartition by pred before the partitioned write: without it every
+    # task writes a file per predicate (tasks x preds small files); with it
+    # each predicate's rows land in one task. At 100 TB replace with
+    # repartition(col('pred'), pmod(xxhash64('subj'), k)) so mega-preds
+    # split into k files (same pattern, one more column).
     triples = _write_stage(
         spark, man, "triples", fp,
-        lambda: TR.extract_triples(parsed),
+        lambda: TR.extract_triples(parsed).repartition(F.col("pred")),
         p("triples"), partition_by=["pred"], sort_within=["subj"],
     )
 
@@ -177,7 +198,8 @@ def run_pipeline(
         return rewrite_triples(all_triples, cmap)
 
     canonical_triples = _write_stage(
-        spark, man, "canonical", fp, _canonical,
+        spark, man, "canonical", fp,
+        lambda: _canonical().repartition(F.col("pred")),
         p("canonical_triples"), partition_by=["pred"], sort_within=["subj"],
     )
 

@@ -756,3 +756,48 @@ def _q_kg11(spark, sf_dir):
     from .operators.multimodal import gen_media, image_features
 
     return image_features(gen_media(spark, 200))
+
+
+@q("kg12_person_table")
+def _q_kg12(spark, sf_dir):
+    from .operators.crosswalk import person_table
+    from .operators.triples import authctrl_table, item_entities, labels_table, with_authctrl, with_preferred_label
+
+    parsed = _kg_parsed(spark, sf_dir)
+    items = with_preferred_label(item_entities(parsed))
+    labels = labels_table(with_authctrl(items))
+    return person_table(authctrl_table(items), labels)
+
+
+@q("kg13_geonames_gnd_join")
+def _q_kg13(spark, sf_dir):
+    from .operators.crosswalk import geonames_gnd_join
+    from .operators.triples import extract_triples, items_table
+
+    parsed = _kg_parsed(spark, sf_dir)
+    return geonames_gnd_join(extract_triples(parsed), items_table(parsed))
+
+
+@q("kg14_wikitext_analysis")
+def _q_kg14(spark, sf_dir):
+    from .operators.wikitext import analyze_pages_wikitext
+
+    return analyze_pages_wikitext(_kg_parsed(spark, sf_dir)).drop("heading_macros")
+
+
+@q("kg15_inverted_index")
+def _q_kg15(spark, sf_dir):
+    from .operators.crosswalk import inverted_index
+    from .operators.triples import extract_triples, props_catalog
+
+    parsed = _kg_parsed(spark, sf_dir)
+    idx = inverted_index(extract_triples(parsed), props_catalog(parsed), hot_threshold=500)
+    return idx.drop("subjects").withColumn("n", idx.n)
+
+
+@q("kg16_doi_report")
+def _q_kg16(spark, sf_dir):
+    from .functions.validators import doi_report
+    from .operators.triples import extract_triples
+
+    return doi_report(extract_triples(_kg_parsed(spark, sf_dir)))
