@@ -1,0 +1,75 @@
+"""Skew-handling gate (SURVEY.md §5 item 6): a head key holding ~30% of
+rows must not concentrate a shuffle partition once salted.
+
+Model: the reference's cardinality-adaptive hot-key switch
+(cntprops.pl:16, 68-77); north_rule requires explicit salting for head
+domains / mega-entities.
+"""
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark.operators.skew import (
+    salted_join,
+    two_phase_count,
+    with_salt,
+)
+
+N = 20_000
+N_SALTS = 8
+
+
+def _skewed_fact(spark):
+    # key 'hot' on ~30% of rows, the rest spread over 1000 keys
+    return spark.range(N).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = _skewed_fact(spark)
+    dim = spark.range(1001).select(
+        F.when(F.col("id") == 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+        .alias("k"),
+        (F.col("id") * 2).alias("w"),
+    )
+    plain = {(r.k, r.v, r.w) for r in fact.join(dim, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(fact, dim, on=["k"], num_salts=N_SALTS).collect()}
+    assert salted == plain and len(plain) == N
+
+
+def test_salting_bounds_partition_ratio(spark):
+    """Shuffling on the salted key must keep max/median partition weight
+    bounded; shuffling on the raw key concentrates ~30% in one partition."""
+    fact = _skewed_fact(spark)
+    parts = 8
+
+    def weights(df, cols):
+        rows = (
+            df.repartition(parts, *[F.col(c) for c in cols])
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .count()
+            .collect()
+        )
+        by_p = {r._p: r["count"] for r in rows}
+        return [by_p.get(i, 0) for i in range(parts)]
+
+    raw = weights(fact, ["k"])
+    salted = weights(with_salt(fact, N_SALTS), ["k", "_salt"])
+    assert max(raw) >= 0.3 * N  # the fixture really is skewed
+    med = statistics.median([w for w in salted if w > 0])
+    assert max(salted) / med <= 2.5, (salted, med)
+
+
+def test_two_phase_count_equals_naive(spark):
+    fact = _skewed_fact(spark)
+    naive = {(r.k, r["count"]) for r in fact.groupBy("k").count().collect()}
+    two = {(r.k, r["count"]) for r in two_phase_count(fact, ["k"], num_salts=N_SALTS).collect()}
+    assert two == naive
+    assert dict(naive)["hot"] == 3 * N // 10

@@ -291,10 +291,18 @@ def page_row(i: int) -> dict:
 
 
 def gen_pages(spark, n: int, partitions: int | None = None):
-    """Distributed deterministic pages table."""
+    """Distributed deterministic pages table.
+
+    Partition count scales with data volume, not just cores: a page row is
+    ~5 KB (html + text), and a partition must stay well under the 2 GB
+    Arrow/stream limit (and under executor memory at 100 TB) — so cap
+    partitions at ~25k pages (~125 MB) each even when the core count is
+    low; finer partitions also smooth straggler tails.  (Measured failure
+    mode without volume-scaled partitioning: at 800k pages on local[2] a
+    single partition exceeds 2 GB and the Python runner deadlocks.)"""
     from .schemas import PAGES_SCHEMA
 
-    parts = partitions or spark.sparkContext.defaultParallelism
+    parts = partitions or max(spark.sparkContext.defaultParallelism, -(-n // 25_000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -54,7 +54,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
         nbr.select("src", "m", F.explode("ns").alias("v"))
         .filter(F.col("v") > F.col("src"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
+        # no distinct here: small_star (always applied next) dedups, and
+        # dropping it saves one shuffle stage per iteration
     )
 
 
@@ -78,14 +79,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
-    checkpoint_interval: int = 3,
+    small_edge_threshold: int = 10_000_000,
 ) -> DataFrame:
     """edges(src, dst) -> (id, component) where component is the minimum
     node id of the component.  Alternates large-star/small-star until the
     edge set is a fixpoint of stars (every node points to its component
-    min)."""
+    min).
+
+    Latency/scale duality: each iteration is a handful of tiny sequential
+    shuffle stages, so when the edge set is small the loop is pure driver
+    latency — AQE's per-stage re-planning and a wide shuffle fan-out only
+    add overhead.  Below ``small_edge_threshold`` edges the loop therefore
+    runs with AQE off and a narrow shuffle (the reference makes the same
+    cardinality-adaptive physical choice for its inverted index,
+    cntprops.pl:16,68-77); above it, AQE + the session's shuffle width
+    handle skewed stars."""
+    spark = edges.sparkSession
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoint: the signature job below is the action that
+    # materializes it — one Spark job per iteration, not two, while still
+    # truncating lineage every round (plan growth is the scale hazard).
+    e = e.localCheckpoint(eager=False)
 
     def _sig(df):
         # one cheap job: (row count, order-insensitive hash sum) identifies
@@ -97,15 +111,30 @@ def connected_components(
         return (r.n, r.h)
 
     sig = _sig(e)
-    for _ in range(max_iter):
-        # checkpoint every iteration: the signature job below materializes
-        # the result anyway, and un-truncated lineage doubles per round
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig2 = _sig(e2)
-        e = e2
-        if sig2 == sig:
-            break
-        sig = sig2
+    loop_conf = {}
+    if sig[0] <= small_edge_threshold:
+        par = spark.sparkContext.defaultParallelism
+        loop_conf = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(max(2, min(8, par))),
+        }
+    saved = {k: spark.conf.get(k, None) for k in loop_conf}
+    try:
+        for k, v in loop_conf.items():
+            spark.conf.set(k, v)
+        for _ in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            sig2 = _sig(e2)
+            e = e2
+            if sig2 == sig:
+                break
+            sig = sig2
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     ).distinct()
@@ -130,10 +159,17 @@ def canonical_map(triples: DataFrame, preds: list[str] | None = None) -> DataFra
 
 def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """Rewrite subjects (and entity-valued objects) through the resolution
-    map — the J4-style lookup join (cntprops.pl:64-77 model).  The map is
-    usually small relative to triples; broadcast when it fits."""
-    subj_map = cmap.select(F.col("id").alias("subj"), F.col("canonical_id").alias("_cs"))
-    obj_map = cmap.select(F.col("id").alias("obj"), F.col("canonical_id").alias("_co"))
+    map — the J4-style lookup join (cntprops.pl:64-77 model).
+
+    Only NON-identity mappings are joined: the map is dominated by
+    singletons mapping to themselves, which the ``coalesce`` fallback
+    already handles — broadcasting them would ship (and hash-build) the
+    whole node catalog per executor for no effect.  The broadcast side is
+    therefore just the merged entities (tiny even at 10^12 docs: bounded
+    by the number of *merges*, not nodes)."""
+    remap = cmap.filter(F.col("id") != F.col("canonical_id"))
+    subj_map = remap.select(F.col("id").alias("subj"), F.col("canonical_id").alias("_cs"))
+    obj_map = remap.select(F.col("id").alias("obj"), F.col("canonical_id").alias("_co"))
     out = (
         triples.join(F.broadcast(subj_map), "subj", "left")
         .join(F.broadcast(obj_map), "obj", "left")

@@ -46,6 +46,35 @@ def score_candidates(cand: DataFrame, catalog: DataFrame | None = None) -> DataF
     return c
 
 
+def resolve_surfaces(
+    aliases: DataFrame, catalog: DataFrame | None = None
+) -> DataFrame:
+    """Per-surface best candidate: (surface, qid, score, n_candidates).
+
+    The candidate score is a pure function of the alias row and the
+    catalog prior — NOT of the individual mention — so the top-1 pick is
+    resolved once on the (tiny) dimension side with ``max_by``; ties break
+    to the smallest qid (deterministic, unlike the reference's hash-order
+    last-wins, geonames.pl:73)."""
+    al = aliases.select(
+        F.lower("alias").alias("surface"),
+        F.col("id").alias("qid"),
+        F.col("is_primary"),
+    )
+    scored = score_candidates(al, catalog)
+    pick = F.struct(
+        F.col("score"),
+        # invert qid ordering so max_by prefers the SMALLEST qid on ties
+        (-F.regexp_extract("qid", r"(\d+)", 1).try_cast("long")).alias("qid_rank"),
+        F.col("qid"),
+    )
+    return scored.groupBy("surface").agg(
+        F.max_by("qid", pick).alias("qid"),
+        F.max("score").alias("score"),
+        F.countDistinct("qid").alias("n_candidates"),
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     aliases: DataFrame,
@@ -54,25 +83,15 @@ def link_mentions(
 ) -> DataFrame:
     """(url, surface, begin, end) -> one best (qid, score) per mention.
 
-    Top-1 pick is a single hash aggregation with ``max_by`` over a
-    (score, qid) struct — no window/sort shuffle; ties break to the
-    smallest qid (deterministic, unlike the reference's hash-order
-    last-wins)."""
-    scored = score_candidates(_candidates(mentions, aliases, broadcast), catalog)
-    pick = F.struct(
-        F.col("score"),
-        # invert qid ordering so max_by prefers the SMALLEST qid on ties
-        (-F.regexp_extract("qid", r"(\d+)", 1).try_cast("long")).alias("qid_rank"),
-        F.col("qid"),
-    )
-    return (
-        scored.groupBy("url", "surface", "begin", "end")
-        .agg(
-            F.max_by("qid", pick).alias("qid"),
-            F.max("score").alias("score"),
-            F.countDistinct("qid").alias("n_candidates"),
-        )
-    )
+    Scale design: the per-surface winner is pre-resolved on the dimension
+    side (``resolve_surfaces``), so the mention stream — the 10^12-row
+    side — is never shuffled: one broadcast (or salted) map-side join and
+    done.  Head-surface skew (a mega-entity alias in 20% of pages) cannot
+    concentrate a partition because there is no exchange on surface."""
+    best = resolve_surfaces(aliases, catalog)
+    if broadcast:
+        return mentions.join(F.broadcast(best), "surface")
+    return salted_join(mentions, best, on=["surface"], num_salts=8)
 
 
 def unlinked_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:

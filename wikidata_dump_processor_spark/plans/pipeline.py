@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +47,7 @@ class StageManifest:
         self.path = os.path.join(root, MANIFEST)
         os.makedirs(root, exist_ok=True)
         self.stages: dict[str, dict] = {}
+        self._lock = threading.Lock()  # stages commit from concurrent threads
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.stages = json.load(f)
@@ -56,16 +59,17 @@ class StageManifest:
         )
 
     def commit(self, stage: str, fingerprint: str, path: str, metrics: dict):
-        self.stages[stage] = {
-            "fingerprint": fingerprint,
-            "path": path,
-            "metrics": metrics,
-            "committed_at": time.time(),
-        }
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.stages, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)  # atomic snapshot commit
+        with self._lock:
+            self.stages[stage] = {
+                "fingerprint": fingerprint,
+                "path": path,
+                "metrics": metrics,
+                "committed_at": time.time(),
+            }
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.stages, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)  # atomic snapshot commit
 
 
 def _with_lineage(df: DataFrame) -> DataFrame:
@@ -110,6 +114,7 @@ def _write_stage(
     """Run one stage with resume semantics; returns the materialized DF."""
     if manifest.done(stage, fingerprint):
         return spark.read.parquet(manifest.stages[stage]["path"])
+    t0 = time.time()
     df = _with_lineage(df_fn())
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
@@ -117,7 +122,10 @@ def _write_stage(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    t1 = time.time()
     manifest.commit(stage, fingerprint, path, _partition_metrics(spark, path))
+    if os.environ.get("PIPELINE_TIMING"):
+        print(f"[stage {stage}] write={t1 - t0:.2f}s metrics={time.time() - t1:.2f}s", flush=True)
     return spark.read.parquet(path)
 
 
@@ -160,41 +168,56 @@ def run_pipeline(
         p("extracted"),
     )
 
-    # repartition by pred before the partitioned write: without it every
-    # task writes a file per predicate (tasks x preds small files); with it
-    # each predicate's rows land in one task. At 100 TB replace with
-    # repartition(col('pred'), pmod(xxhash64('subj'), k)) so mega-preds
-    # split into k files (same pattern, one more column).
-    triples = _write_stage(
-        spark, man, "triples", fp,
-        lambda: TR.extract_triples(parsed).repartition(F.col("pred")),
-        p("triples"), partition_by=["pred"], sort_within=["subj"],
-    )
+    # Stages 2-5 all depend only on `parsed`: submit them from concurrent
+    # driver threads (idiomatic Spark — the scheduler interleaves their
+    # tasks, so one stage's stragglers/fixed costs overlap another's
+    # compute instead of serializing; biggest win at high parallelism).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        # repartition by pred before the partitioned write: without it every
+        # task writes a file per predicate (tasks x preds small files); with
+        # it each predicate's rows land in one task. At 100 TB replace with
+        # repartition(col('pred'), pmod(xxhash64('subj'), k)) so mega-preds
+        # split into k files (same pattern, one more column).
+        f_triples = pool.submit(
+            _write_stage, spark, man, "triples", fp,
+            lambda: TR.extract_triples(parsed).repartition(F.col("pred")),
+            p("triples"), ["pred"], ["subj"],
+        )
+        # items: sorted-within-partition only — repartitionByRange would
+        # sample (= compute the plan twice); the consumer-facing `nodes`
+        # table below gets the globally range-partitioned layout instead.
+        f_items = pool.submit(
+            _write_stage, spark, man, "items", fp,
+            lambda: TR.items_table(parsed), p("items"), None, ["id_num"],
+        )
+        f_props = pool.submit(
+            _write_stage, spark, man, "props", fp,
+            lambda: TR.props_catalog(parsed), p("props"),
+        )
+        f_linked = pool.submit(
+            _write_stage, spark, man, "mentions", fp,
+            lambda: link_mentions(detect_mentions(parsed, aliases), aliases, catalog),
+            p("mentions"),
+        )
+        triples = f_triples.result()
+        items = f_items.result()
+        props = f_props.result()
+        linked = f_linked.result()
 
-    # items: sorted-within-partition only — repartitionByRange would sample
-    # (= compute the plan twice); the consumer-facing `nodes` table below
-    # gets the globally range-partitioned, id-sorted layout instead.
-    items = _write_stage(
-        spark, man, "items", fp,
-        lambda: TR.items_table(parsed),
-        p("items"), sort_within=["id_num"],
-    )
-
-    props = _write_stage(
-        spark, man, "props", fp, lambda: TR.props_catalog(parsed), p("props")
-    )
-
-    linked = _write_stage(
-        spark, man, "mentions", fp,
-        lambda: link_mentions(detect_mentions(parsed, aliases), aliases, catalog),
-        p("mentions"),
-    )
+    cmap_holder: dict = {}
 
     def _canonical():
+        t0 = time.time()
         all_triples = triples.select("subj", "pred", "obj", "src_url").unionByName(
             mention_triples(linked.select("url", "qid"))
         )
-        cmap = canonical_map(all_triples)
+        # the CC loop materializes its assignment; keep it for the nodes
+        # stage (the canonical-subject set is the image of this small map,
+        # so nodes never needs to re-scan the full triple table)
+        cmap = canonical_map(all_triples).localCheckpoint(eager=False)
+        cmap_holder["cmap"] = cmap
+        if os.environ.get("PIPELINE_TIMING"):
+            print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
         return rewrite_triples(all_triples, cmap)
 
     canonical_triples = _write_stage(
@@ -204,11 +227,20 @@ def run_pipeline(
     )
 
     def _nodes():
-        cmap_ids = canonical_triples.select(F.col("subj").alias("id")).distinct()
-        return (
+        cmap = cmap_holder.get("cmap")
+        if cmap is not None:
+            cmap_ids = cmap.select(F.col("canonical_id").alias("id")).distinct()
+        else:  # resume path: canonical stage was skipped, read its output
+            cmap_ids = canonical_triples.select(F.col("subj").alias("id")).distinct()
+        merged = (
             items.drop("_part_id")
             .join(cmap_ids, "id", "left_semi")
-            .repartitionByRange(max(spark.sparkContext.defaultParallelism, 1), "id_num")
+            # materialize once: repartitionByRange samples its input to pick
+            # bounds, which would otherwise re-run the semi-join twice
+            .localCheckpoint(eager=False)
+        )
+        return merged.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "id_num"
         )
 
     nodes = _write_stage(
