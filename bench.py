@@ -77,7 +77,16 @@ def main():
             finally:
                 shutil.rmtree(wout, ignore_errors=True)
 
-        pages = datagen.gen_pages(spark, n_pages).localCheckpoint(eager=True)
+        # BENCH_PAGES_PATH: pre-materialized pages table (parquet) — the
+        # realistic input shape (input_hint: an Iceberg/parquet table), and
+        # it keeps corpus generation out of every scaling rep.  Fallback:
+        # generate in-memory and checkpoint.
+        pages_path = os.environ.get("BENCH_PAGES_PATH", "")
+        if pages_path:
+            pages = spark.read.parquet(pages_path)
+            n_pages = pages.count()  # parquet metadata, no scan
+        else:
+            pages = datagen.gen_pages(spark, n_pages).localCheckpoint(eager=True)
         t0 = time.time()
         res = run_pipeline(
             spark, pages, datagen.gen_aliases(spark), out,

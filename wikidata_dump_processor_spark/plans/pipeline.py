@@ -172,7 +172,12 @@ def run_pipeline(
     # driver threads (idiomatic Spark — the scheduler interleaves their
     # tasks, so one stage's stragglers/fixed costs overlap another's
     # compute instead of serializing; biggest win at high parallelism).
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # Concurrency scales with task slots: with 1-2 slots, interleaving
+    # 4 Arrow-exchange jobs through the same Python worker adds overhead
+    # (and exercises a Spark 4.1 local-mode runner race) for zero overlap
+    # benefit, so the pool degrades to sequential.
+    slots = spark.sparkContext.defaultParallelism
+    with ThreadPoolExecutor(max_workers=max(1, min(4, slots // 2))) as pool:
         # repartition by pred before the partitioned write: without it every
         # task writes a file per predicate (tasks x preds small files); with
         # it each predicate's rows land in one task. At 100 TB replace with
