@@ -2,9 +2,16 @@
 tables, each with a DuckDB oracle SQL — the correctness gate contract in
 ``__spark_entry__.py``.
 
-Conventions for cross-engine hash equality:
-* money math in DECIMAL on both sides (bit-exact, no float drift)
+Conventions for cross-engine hash equality (the driver hashes the
+pandas-converted values with NO normalization — round-1 lesson):
+* money math in DECIMAL on both sides (bit-exact, no float drift), then
+  the FINAL projection casts to DOUBLE on both sides: Spark's toPandas
+  keeps DecimalType as ``decimal.Decimal`` while DuckDB's .df() converts
+  DECIMAL to float64, so a decimal output can never hash-match
+* integer sums cast to BIGINT on the DuckDB side (DuckDB sum(int) is
+  HUGEINT which .df() converts to float64; Spark sum(long) is LONG)
 * dates rendered as 'yyyy-MM-dd' strings
+* array/map outputs serialized with to_json (pandas can't hash lists)
 * every computed column aliased identically in Spark and SQL
 * deterministic ordering/tie-breaks wherever a limit/top-k is involved
 
@@ -55,9 +62,9 @@ def q(name: str, sql: str | None = None):
     "a1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::DECIMAL(12,2)) AS sum_qty,
-           sum(l_extendedprice::DECIMAL(14,2)) AS sum_base_price,
-           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4))) AS sum_disc_price,
+           sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(14,2))::DOUBLE AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4)))::DOUBLE AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -70,11 +77,11 @@ def _q_a1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity", 12, 2)).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice", 14, 2)).alias("sum_base_price"),
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice", 14, 2)).cast("double").alias("sum_base_price"),
             F.sum(
                 _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 12, 4))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -92,7 +99,7 @@ def _q_a2(spark, sf_dir):
     "a5_watermarks",
     """
     SELECT max(o_orderkey) AS max_orderkey,
-           max(o_totalprice::DECIMAL(14,2)) AS max_totalprice,
+           max(o_totalprice::DECIMAL(14,2))::DOUBLE AS max_totalprice,
            min(strftime(o_orderdate, '%Y-%m-%d')) AS min_orderdate,
            count(*) AS n_orders
     FROM orders
@@ -102,7 +109,7 @@ def _q_a5(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.max("o_orderkey").alias("max_orderkey"),
-        F.max(_dec("o_totalprice", 14, 2)).alias("max_totalprice"),
+        F.max(_dec("o_totalprice", 14, 2)).cast("double").alias("max_totalprice"),
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("min_orderdate"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -112,20 +119,23 @@ def _q_a5(spark, sf_dir):
     "a6_top_revenue_parts",
     """
     SELECT l_partkey,
-           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4))) AS revenue,
+           sum(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(12,4)))::DOUBLE AS revenue,
            count(*) AS n_lines
     FROM lineitem GROUP BY l_partkey
     ORDER BY revenue DESC, l_partkey LIMIT 100
     """,
 )
 def _q_a6(spark, sf_dir):
+    # sum exactly in DECIMAL, cast to double, and order by the DOUBLE so
+    # both engines pick an identical top-100 even if two decimals collide
+    # on the same double
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_partkey")
         .agg(
             F.sum(
                 _dec("l_extendedprice", 14, 2) * (F.lit(1) - _dec("l_discount", 12, 4))
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy(F.desc("revenue"), "l_partkey")
@@ -168,7 +178,7 @@ def _q_a11(spark, sf_dir):
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type, count(*) AS cnt,
-           sum(value::DECIMAL(14,4)) AS sum_value
+           sum(value::DECIMAL(14,4))::DOUBLE AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -177,7 +187,10 @@ def _q_a3(spark, sf_dir):
     return e.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "event_type",
-    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value", 14, 4)).alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value", 14, 4)).cast("double").alias("sum_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +203,7 @@ def _q_a3(spark, sf_dir):
     """
     SELECT r.r_name AS region,
            count(*) AS n_orders,
-           sum(o.o_totalprice::DECIMAL(14,2)) AS revenue
+           sum(o.o_totalprice::DECIMAL(14,2))::DOUBLE AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -210,7 +223,7 @@ def _q_j1(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice", 14, 2)).alias("revenue"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("revenue"),
         )
     )
 
@@ -252,7 +265,7 @@ def _q_j3(spark, sf_dir):
 @q(
     "j4_brand_volume",
     """
-    SELECT p.p_brand, sum(l.l_quantity::DECIMAL(12,2)) AS sum_qty,
+    SELECT p.p_brand, sum(l.l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -264,7 +277,10 @@ def _q_j4(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(_dec("l_quantity", 12, 2)).alias("sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
@@ -272,7 +288,7 @@ def _q_j4(spark, sf_dir):
     "j5_order_details_lookup",
     """
     SELECT o.o_orderkey, c.c_name, o.o_orderstatus,
-           o.o_totalprice::DECIMAL(14,2) AS totalprice
+           o.o_totalprice::DECIMAL(14,2)::DOUBLE AS totalprice
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderkey % 1000 = 0
     """,
@@ -281,7 +297,10 @@ def _q_j5(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
     c = _t(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "c_name", "o_orderstatus", _dec("o_totalprice", 14, 2).alias("totalprice")
+        "o_orderkey",
+        "c_name",
+        "o_orderstatus",
+        _dec("o_totalprice", 14, 2).cast("double").alias("totalprice"),
     )
 
 
@@ -309,7 +328,7 @@ def _q_j6(spark, sf_dir):
     "p7_json_extract_classify",
     """
     SELECT CASE WHEN k < 25 THEN 'low' WHEN k < 75 THEN 'mid' ELSE 'high' END AS bucket,
-           count(*) AS cnt, sum(k) AS sum_k
+           count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k
     FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY 1
     """,
@@ -355,7 +374,7 @@ def _q_p11(spark, sf_dir):
     "p12_value_format_check",
     """
     SELECT lang,
-           sum(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END) AS n_clean,
+           CAST(sum(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
            count(*) AS n_total
     FROM documents GROUP BY lang
     """,
@@ -452,9 +471,9 @@ def _q_w1(spark, sf_dir):
     "w2_running_customer_spend",
     """
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice::DECIMAL(14,2))
+           (sum(o_totalprice::DECIMAL(14,2))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_spend
     FROM orders WHERE o_custkey < 100
     """,
 )
@@ -468,7 +487,7 @@ def _q_w2(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice", 14, 2)).over(w).alias("running_spend"),
+        F.sum(_dec("o_totalprice", 14, 2)).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -782,7 +801,17 @@ def _q_kg13(spark, sf_dir):
 def _q_kg14(spark, sf_dir):
     from .operators.wikitext import analyze_pages_wikitext
 
-    return analyze_pages_wikitext(_kg_parsed(spark, sf_dir)).drop("heading_macros")
+    # array columns serialized with to_json: the driver's pandas
+    # canonicalization cannot sort/hash list cells (round-1 kg14 error)
+    df = analyze_pages_wikitext(_kg_parsed(spark, sf_dir)).drop("heading_macros")
+    return df.select(
+        "url",
+        "doc_type",
+        "n_errors",
+        F.to_json("errors").alias("errors"),
+        "heading_level",
+        F.to_json("heading_words").alias("heading_words"),
+    )
 
 
 @q("kg15_inverted_index")
