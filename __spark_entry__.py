@@ -41,4 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # KG-query oracles read golden parquet fixtures (a pure-Python
+    # re-derivation of the pipeline's expected output over the same
+    # deterministic corpus) — make sure they exist before the driver
+    # executes the SQL.  Idempotent, ~2 s, no Spark involved.
+    from wikidata_dump_processor_spark.golden import ensure_golden
+
+    ensure_golden()
     return dict(ORACLE_SQL)

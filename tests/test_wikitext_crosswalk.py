@@ -116,3 +116,29 @@ def test_inverted_index_layout_routing(spark, kg):
     for r in idx:
         assert r.subjects == sorted(r.subjects)
         assert r.n == len(r.subjects)
+
+
+def test_inverted_index_scale_paths(spark, kg, tmp_path):
+    """The 100-TB contract: mega-predicates are NEVER materialized as one
+    array — entries are flat (pred, subj) rows written partitioned by
+    pred; arrays exist only below array_cap."""
+    from wikidata_dump_processor_spark.operators.crosswalk import (
+        inverted_index_entries,
+        inverted_index_stats,
+        write_inverted_index,
+    )
+
+    parsed, items, triples, auth = kg
+    props = TR.props_catalog(parsed)
+    # array_cap=1: every pred is "too hot" for an array -> subjects NULL
+    capped = inverted_index(triples, props, hot_threshold=50, array_cap=1).collect()
+    assert capped and all(r.subjects is None for r in capped)
+    # stats plan has no collect_set / array aggregation anywhere
+    plan = inverted_index_stats(triples, props)._jdf.queryExecution().toString()
+    assert "collect_set" not in plan and "ObjectHashAggregate" not in plan
+    # entries roundtrip through the partitioned write
+    out = str(tmp_path / "inv_idx")
+    write_inverted_index(triples, out)
+    back = spark.read.parquet(out)
+    assert back.count() == inverted_index_entries(triples).count()
+    assert set(back.columns) == {"pred", "subj"}

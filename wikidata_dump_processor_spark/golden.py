@@ -1,0 +1,628 @@
+"""Golden-oracle fixture tables for the KG-pipeline driver queries.
+
+A pure-Python (no Spark) re-derivation of every deterministic KG table the
+engine produces over the synthetic corpus, written as single-file parquet
+so the driver's DuckDB oracle can ``read_parquet()`` them.  This turns the
+KG queries (kg1, kg2, ...) from rows-only checks into fully oracle-checked
+queries: the driver compares the Spark pipeline's output against these
+tables row-for-row.
+
+Like ``reference_semantics.py`` (the per-record golden loop it builds on),
+this module mirrors the reference's semantics (cites into /root/reference)
+as naive Python — it shares no code with the Spark operators, so agreement
+is a real check, not a tautology.
+
+Type conventions match the driver's pandas-level hash (see
+queries_catalog.py header): ints are int64, floats float64, arrays/maps
+are JSON-serialized strings.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import datagen
+from .reference_semantics import golden_record
+from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
+
+# bump when any golden derivation changes => fixtures regenerate
+VERSION = "r2-2"
+
+GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
+
+# the driver runs the oracle comparison at sf0.01 (datagen.sf_to_n_pages)
+ORACLE_N = 2000
+
+
+def golden_dir(n: int = ORACLE_N) -> str:
+    return os.path.join(GOLDEN_ROOT, f"n{n}")
+
+
+# ---------------------------------------------------------------------------
+# per-record helpers (reference semantics, naive Python)
+# ---------------------------------------------------------------------------
+
+
+def _safe_get(d, *path):
+    cur = d
+    for p in path:
+        if not isinstance(cur, (dict, list)):
+            return None
+        try:
+            cur = cur[p]
+        except (KeyError, IndexError, TypeError):
+            return None
+    return cur
+
+
+def _extract(x, transform: int):
+    """Filter.pm:76-108 (same as reference_semantics._extract)."""
+    if transform == 1 and isinstance(x, dict):
+        prefix = {"item": "Q", "property": "P"}.get(x.get("entity-type"))
+        return f"{prefix}{x['numeric-id']}" if prefix is not None else None
+    if isinstance(x, dict):
+        from .reference_semantics import json_encode_value
+
+        return json_encode_value(x)
+    return x
+
+
+def _parse_record(text: str):
+    """First body line -> (ent dict | None, ent_diag per the engine's
+    parse_entities diag contract)."""
+    if not text:
+        return None, "empty payload"
+    line = text.split("\n", 1)[0].strip()
+    if line in ("[", "]", ""):
+        return None, "empty payload"
+    if line.endswith(","):
+        line = line[:-1]
+    try:
+        j = json.loads(line)
+    except Exception:
+        return None, "json parse error"
+    if not isinstance(j, dict) or j.get("id") is None:
+        return None, "json parse error"
+    if not re.match(r"^[PQL]\d+$", str(j["id"])):
+        return None, f"bad id: {j['id']}"
+    return j, None
+
+
+def _preferred_label(j: dict):
+    """wdq1.pl:565-588 incl. the undef/last-lang quirk."""
+    jl, jle = j.get("labels") or {}, j.get("lemmas")
+    x_langs = list(LANGS) + (list(jle.keys()) if jle is not None else [])
+    src = jle if jle is not None else jl
+    label, lang = None, None
+    for lg in x_langs:
+        if label is None:
+            label, lang = (src.get(lg) or {}).get("value"), lg
+    return label, lang
+
+
+def _first_snak_value(j: dict, prop: str):
+    """(snaktype, raw datavalue.value) of claims[prop][0], or (None, None)."""
+    ms = _safe_get(j, "claims", prop, 0, "mainsnak")
+    if not isinstance(ms, dict):
+        return None, None
+    return ms.get("snaktype"), _safe_get(ms, "datavalue", "value")
+
+
+def _p31_id(j: dict):
+    v = _safe_get(j, "claims", "P31", 0, "mainsnak", "datavalue", "value")
+    return v.get("id") if isinstance(v, dict) else None
+
+
+class _Corpus:
+    """All golden rows for an n-page corpus, computed in one pass."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.pages = []  # (i, url, text, ent_diag, j-or-None)
+        for i in range(n):
+            url = datagen.page_row_url(i) if hasattr(datagen, "page_row_url") else None
+            if url is None:
+                dom = datagen.HEAD_DOMAIN if i % 10 < 3 else f"site{i % 97}.example"
+                url = f"https://{dom}/wiki/Page_{i}"
+            text = datagen.expected_text(i)
+            j, diag = _parse_record(text)
+            self.pages.append((i, url, text, diag, j))
+
+    # -- item/property partitions ------------------------------------------
+    def items(self):
+        for i, url, text, diag, j in self.pages:
+            if diag is None and j.get("type") in ("item", "lexeme") and re.match(
+                r"^[QL]\d+$", str(j["id"])
+            ):
+                yield i, url, text, j
+
+    def props_defs(self):
+        for i, url, text, diag, j in self.pages:
+            if diag is None and j.get("type") == "property" and re.match(
+                r"^P\d+$", str(j["id"])
+            ):
+                yield i, url, j
+
+
+# ---------------------------------------------------------------------------
+# golden tables
+# ---------------------------------------------------------------------------
+
+
+def _t_pages_text(c: _Corpus):
+    rows = [
+        {"url": url, "text": text, "ent_diag": diag}
+        for _, url, text, diag, _j in c.pages
+    ]
+    return rows, pa.schema(
+        [("url", pa.string()), ("text", pa.string()), ("ent_diag", pa.string())]
+    )
+
+
+def _t_triples(c: _Corpus):
+    rows = []
+    for i, url, text, diag, j in c.pages:
+        if not text:
+            continue
+        first_line = text.split("\n", 1)[0]
+        triples, _item, _d = golden_record(first_line)
+        for s, p, o in triples:
+            rows.append({"subj": s, "pred": p, "obj": o, "src_url": url})
+    return rows, pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()), ("src_url", pa.string())]
+    )
+
+
+def _t_items(c: _Corpus):
+    rows = []
+    for i, url, text, j in c.items():
+        claims = j.get("claims") or {}
+        label, lang = _preferred_label(j)
+        p31 = _p31_id(j)
+        is_auth = j["type"] == "item" and (
+            any(p in claims for p in AUTHCTRL_PRED) or p31 == "Q5"
+        )
+        claims_list = sorted(claims.keys())
+        rows.append(
+            {
+                "url": url,
+                "id": j["id"],
+                "id_num": int(re.match(r"^[QL](\d+)$", j["id"]).group(1)),
+                "type": j["type"],
+                "revid": j.get("lastrevid"),
+                "cnt_label": len(j.get("labels") or {}),
+                "cnt_desc": len(j.get("descriptions") or {}),
+                "cnt_aliases": len(j.get("aliases") or {}),
+                "cnt_claims": len(claims),
+                "cnt_sitelink": len(j.get("sitelinks") or {}),
+                "cnt_lemmas": len(j.get("lemmas") or {}),
+                "lang": lang,
+                "label": label,
+                "filtered_props": json.dumps(
+                    [p for p in claims_list if p in FILTER_BANK], separators=(",", ":")
+                ),
+                "claims_list": json.dumps(claims_list, separators=(",", ":")),
+                "p31": p31,
+                "is_authctrl": is_auth,
+            }
+        )
+    return rows, pa.schema(
+        [
+            ("url", pa.string()), ("id", pa.string()), ("id_num", pa.int64()),
+            ("type", pa.string()), ("revid", pa.int64()),
+            ("cnt_label", pa.int64()), ("cnt_desc", pa.int64()),
+            ("cnt_aliases", pa.int64()), ("cnt_claims", pa.int64()),
+            ("cnt_sitelink", pa.int64()), ("cnt_lemmas", pa.int64()),
+            ("lang", pa.string()), ("label", pa.string()),
+            ("filtered_props", pa.string()), ("claims_list", pa.string()),
+            ("p31", pa.string()), ("is_authctrl", pa.bool_()),
+        ]
+    )
+
+
+def _t_props(c: _Corpus):
+    defs: dict[str, dict] = {}
+    for i, url, j in c.props_defs():
+        d = defs.setdefault(
+            j["id"],
+            {
+                "def_cnt": 0,
+                "datatype": j.get("datatype"),
+                "label_en": _safe_get(j, "labels", "en", "value"),
+                "descr_en": _safe_get(j, "descriptions", "en", "value"),
+            },
+        )
+        d["def_cnt"] += 1
+    use: dict[str, int] = {}
+    for i, url, text, j in c.items():
+        for p in (j.get("claims") or {}).keys():
+            use[p] = use.get(p, 0) + 1
+    rows = []
+    for prop in sorted(set(defs) | set(use)):
+        d = defs.get(prop, {})
+        rows.append(
+            {
+                "prop": prop,
+                "def_cnt": d.get("def_cnt", 0),
+                "use_cnt": use.get(prop, 0),
+                "datatype": d.get("datatype"),
+                "label_en": d.get("label_en"),
+                "descr_en": d.get("descr_en"),
+                "dup_def": d.get("def_cnt", 0) > 1,
+            }
+        )
+    return rows, pa.schema(
+        [
+            ("prop", pa.string()), ("def_cnt", pa.int64()), ("use_cnt", pa.int64()),
+            ("datatype", pa.string()), ("label_en", pa.string()),
+            ("descr_en", pa.string()), ("dup_def", pa.bool_()),
+        ]
+    )
+
+
+def _labels_rows(c: _Corpus):
+    """labels_unsorted.tsv model (wdq1.pl:171-174, 770-780)."""
+    rows = []
+    for i, url, text, j in c.items():
+        labels = j.get("labels") or {}
+        if not labels:
+            continue
+        row = {"id": j["id"], "P31": _p31_id(j)}
+        for lg in LANGS:
+            row[f"label_{lg}"] = _safe_get(labels, lg, "value")
+        rows.append(row)
+    return rows
+
+
+def _authctrl_rows(c: _Corpus):
+    """wdq1.pl:599-633, 732-739: qualifying items + first-snak authority
+    property values."""
+    out = []
+    for i, url, text, j in c.items():
+        claims = j.get("claims") or {}
+        p31 = _p31_id(j)
+        if not (
+            j["type"] == "item"
+            and (any(p in claims for p in AUTHCTRL_PRED) or p31 == "Q5")
+        ):
+            continue
+        label, lang = _preferred_label(j)
+        props = {}
+        for p in AUTHCTRL_PROPS:
+            if p not in claims or not re.match(r"^P\d+$", p):
+                continue
+            st, val = _first_snak_value(j, p)
+            if st != "value" or val is None:
+                continue
+            props[p] = _extract(val, FILTER_BANK.get(p, ("", 0))[1])
+        out.append(
+            {"id": j["id"], "p31": p31, "label": label, "label_lang": lang, "props": props}
+        )
+    return out
+
+
+def _t_person(c: _Corpus):
+    """wdq3.pl:102-205 person table over the authority records."""
+    labels = {r["id"]: r for r in _labels_rows(c)}
+    person_props = ["P213", "P214", "P227", "P244", "P496", "P19", "P20", "P21"]
+    rows = []
+    for a in _authctrl_rows(c):
+        if a["p31"] != "Q5":
+            continue
+        row = {"id": a["id"], "P31": a["p31"]}
+        for p in person_props:
+            row[p] = a["props"].get(p)
+        for p, col in (("P569", "P569x"), ("P570", "P570x")):
+            v = a["props"].get(p)
+            row[col] = json.loads(v).get("time") if v else None
+        lab = labels.get(a["id"], {})
+        for lg in ("en", "de", "fr", "it"):
+            row[f"tlt_{lg}"] = lab.get(f"label_{lg}")
+        rows.append(row)
+    fields = (
+        [("id", pa.string()), ("P31", pa.string())]
+        + [(p, pa.string()) for p in person_props]
+        + [("P569x", pa.string()), ("P570x", pa.string())]
+        + [(f"tlt_{lg}", pa.string()) for lg in ("en", "de", "fr", "it")]
+    )
+    return rows, pa.schema(fields)
+
+
+def _t_geonames(c: _Corpus, triples_rows):
+    """geonames.pl:12-15,54-85 with deterministic last-wins (max obj)."""
+    sides: dict[str, dict[str, str]] = {"P1566": {}, "P227": {}}
+    for t in triples_rows:
+        if t["pred"] in sides and t["obj"] is not None:
+            cur = sides[t["pred"]].get(t["subj"])
+            if cur is None or t["obj"] > cur:
+                sides[t["pred"]][t["subj"]] = t["obj"]
+    items = {}
+    for i, url, text, j in c.items():
+        label, lang = _preferred_label(j)
+        items[j["id"]] = (lang, label)
+    rows = []
+    for subj in sorted(set(sides["P1566"]) & set(sides["P227"])):
+        lang, label = items.get(subj, (None, None))
+        rows.append(
+            {
+                "id": subj,
+                "P1566_lang": lang, "P1566_label": label, "P1566_val": sides["P1566"][subj],
+                "P227_lang": lang, "P227_label": label, "P227_val": sides["P227"][subj],
+            }
+        )
+    return rows, pa.schema(
+        [
+            ("id", pa.string()),
+            ("P1566_lang", pa.string()), ("P1566_label", pa.string()), ("P1566_val", pa.string()),
+            ("P227_lang", pa.string()), ("P227_label", pa.string()), ("P227_val", pa.string()),
+        ]
+    )
+
+
+def _mention_rows(c: _Corpus):
+    """Dictionary mention scan: case-insensitive, word-bounded,
+    longest-leftmost, non-overlapping — naive position loop (independent
+    of the engine's compiled-alternation / Aho-Corasick kernels)."""
+    surfaces = sorted({a.lower() for a, _id, _lg, _p in datagen.alias_rows()}, key=lambda s: (-len(s), s))
+    rows = []
+    for i, url, text, diag, j in c.pages:
+        if not text:
+            continue
+        low = text.lower()
+        pos, L = 0, len(low)
+        while pos < L:
+            hit = None
+            if pos == 0 or not low[pos - 1].isalnum():
+                for s in surfaces:
+                    e = pos + len(s)
+                    if low.startswith(s, pos) and (e >= L or not low[e].isalnum()):
+                        hit = (s, pos, e)
+                        break
+            if hit:
+                rows.append({"url": url, "surface": hit[0], "begin": hit[1], "end": hit[2]})
+                pos = hit[2]
+            else:
+                pos += 1
+    return rows
+
+
+def _t_linked(c: _Corpus):
+    """Mentions joined to the per-surface best catalog entity (linking.py
+    semantics re-derived: primary bonus 2.0 + log1p(prior), tie -> smallest
+    qid; score itself is NOT exported — cross-engine float-libm drift)."""
+    prior = {}
+    for i in range(datagen.N_CATALOG):
+        prior[datagen.catalog_qid(i)] = 1000.0 if i == 0 else 1.0 / (1 + i)
+    cand: dict[str, list] = {}
+    for alias, qid, lang, is_primary in datagen.alias_rows():
+        s = alias.lower()
+        score = (2.0 if is_primary else 0.0) + math.log1p(prior.get(qid, 0.0))
+        cand.setdefault(s, []).append((score, qid))
+    best = {}
+    for s, cs in cand.items():
+        qids = {q for _, q in cs}
+        # max score; tie -> smallest numeric qid
+        win = max(cs, key=lambda t: (t[0], -int(re.search(r"(\d+)", t[1]).group(1))))
+        best[s] = (win[1], len(qids))
+    rows = []
+    for m in _mention_rows(c):
+        qid, n_cand = best[m["surface"]]
+        rows.append({**m, "qid": qid, "n_candidates": n_cand})
+    return rows, pa.schema(
+        [
+            ("url", pa.string()), ("surface", pa.string()),
+            ("begin", pa.int64()), ("end", pa.int64()),
+            ("qid", pa.string()), ("n_candidates", pa.int64()),
+        ]
+    )
+
+
+def _t_components(triples_rows):
+    """canonicalize.py semantics re-derived as union-find: entities sharing
+    an authority (pred, obj) identifier merge; canonical = lexicographic
+    min id (the Spark loop's F.min over string ids)."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    groups: dict[tuple, list] = {}
+    subjects = set()
+    for t in triples_rows:
+        subjects.add(t["subj"])
+        if t["pred"] in AUTHCTRL_PRED and t["obj"] is not None:
+            groups.setdefault((t["pred"], t["obj"]), []).append(t["subj"])
+    for s in subjects:
+        parent[s] = s
+    for members in groups.values():
+        for m in members[1:]:
+            union(members[0], m)
+    # canonical = min id in component
+    comp_min: dict[str, str] = {}
+    for s in subjects:
+        r = find(s)
+        if r not in comp_min or s < comp_min[r]:
+            comp_min[r] = s
+    rows = [
+        {"id": s, "canonical_id": comp_min[find(s)]} for s in sorted(subjects)
+    ]
+    return rows, pa.schema([("id", pa.string()), ("canonical_id", pa.string())])
+
+
+def _t_snak_values(c: _Corpus, pred: str = "P31"):
+    """wdq2.pl:522-552 get_snak_values: all statements of one property;
+    snaktype != value contributes the snaktype string (wdq2.pl:544-546)."""
+    tr = 1 if FILTER_BANK.get(pred, ("", 0))[1] == 1 else 0
+    rows = []
+    for i, url, text, j in c.items():
+        snaks = _safe_get(j, "claims", pred)
+        if not isinstance(snaks, list):
+            continue
+        for pos, snak in enumerate(snaks):
+            ms = snak.get("mainsnak") if isinstance(snak, dict) else None
+            st = ms.get("snaktype") if isinstance(ms, dict) else None
+            if st == "value":
+                obj = _extract(_safe_get(ms, "datavalue", "value"), tr)
+            else:
+                obj = st
+            rows.append(
+                {"subj": j["id"], "pred": pred, "snak_pos": pos, "obj": obj, "src_url": url}
+            )
+    return rows, pa.schema(
+        [
+            ("subj", pa.string()), ("pred", pa.string()), ("snak_pos", pa.int64()),
+            ("obj", pa.string()), ("src_url", pa.string()),
+        ]
+    )
+
+
+def _t_doi_report(triples_rows):
+    """doi-count.pl:12-14,53-141,224-258 re-derived."""
+    denylist = {"10.38", "10.475", "10.530", "10.581", "10.5072"}
+    counts: dict[tuple, int] = {}
+    for t in triples_rows:
+        if t["pred"] != "P356" or t["obj"] is None:
+            continue
+        v = re.sub(r"^(HDL:|DOI:)\s*", "", t["obj"].strip(), flags=re.IGNORECASE)
+        prefix = v.split("/", 1)[0]
+        suffix = v.split("/", 1)[1] if "/" in v else ""
+        two = ".".join(prefix.split(".")[:2])
+        if two in denylist:
+            verdict = "denylisted"
+        elif not re.search(r"^10\.[1-9]\d{3,4}$", prefix):
+            verdict = "bad_prefix"
+        elif suffix == "":
+            verdict = "no_suffix"
+        elif re.search(r"^[\w.\-/()<>;:]+$", suffix):
+            verdict = "good"
+        else:
+            verdict = "odd_chars"
+        counts[(prefix, verdict)] = counts.get((prefix, verdict), 0) + 1
+    rows = [
+        {"prefix": p, "verdict": vd, "cnt": n} for (p, vd), n in sorted(counts.items())
+    ]
+    return rows, pa.schema(
+        [("prefix", pa.string()), ("verdict", pa.string()), ("cnt", pa.int64())]
+    )
+
+
+def _t_inverted_index(triples_rows, props_rows, hot_threshold: int = 500):
+    """cntprops.pl:16,54-134 stats: per-pred distinct-subject count +
+    cardinality-adaptive layout routing."""
+    per_pred: dict[str, set] = {}
+    for t in triples_rows:
+        per_pred.setdefault(t["pred"], set()).add(t["subj"])
+    use = {r["prop"]: r["use_cnt"] for r in props_rows}
+    rows = []
+    for pred in sorted(per_pred):
+        n = len(per_pred[pred])
+        u = use.get(pred)
+        rows.append(
+            {
+                "pred": pred,
+                "n": n,
+                "layout": "bitmap" if (u if u is not None else n) >= hot_threshold else "list",
+            }
+        )
+    return rows, pa.schema([("pred", pa.string()), ("n", pa.int64()), ("layout", pa.string())])
+
+
+def _t_wikitext(c: _Corpus):
+    """Text.pm:6-51 over the corpus: no fixture line starts with '=' so
+    every page is one heading-less row; empty text -> 'empty'
+    (Text.pm:12).  Heading/macro parsing itself is pytest-covered."""
+    rows = []
+    for i, url, text, diag, j in c.pages:
+        lines = text.split("\n") if text else []
+        doc_type = "empty" if not lines else "unknown"
+        has_heading = any(ln.startswith("=") for ln in lines)
+        assert not has_heading, "fixture grew headings; extend golden wikitext"
+        rows.append(
+            {
+                "url": url, "doc_type": doc_type, "n_errors": 0, "errors": "[]",
+                "heading_level": None, "heading_words": None,
+            }
+        )
+    return rows, pa.schema(
+        [
+            ("url", pa.string()), ("doc_type", pa.string()), ("n_errors", pa.int64()),
+            ("errors", pa.string()), ("heading_level", pa.int64()),
+            ("heading_words", pa.string()),
+        ]
+    )
+
+
+def _t_labels(c: _Corpus):
+    rows = _labels_rows(c)
+    fields = [("id", pa.string()), ("P31", pa.string())] + [
+        (f"label_{lg}", pa.string()) for lg in LANGS
+    ]
+    return rows, pa.schema(fields)
+
+
+# ---------------------------------------------------------------------------
+# build + ensure
+# ---------------------------------------------------------------------------
+
+
+def _write(path: str, rows: list[dict], schema: pa.Schema):
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    table = pa.Table.from_pydict(cols, schema=schema)
+    pq.write_table(table, path)
+
+
+def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
+    out = root or golden_dir(n)
+    os.makedirs(out, exist_ok=True)
+    c = _Corpus(n)
+    triples_rows, triples_schema = _t_triples(c)
+    props_rows, props_schema = _t_props(c)
+    tables = {
+        "pages_text": _t_pages_text(c),
+        "triples": (triples_rows, triples_schema),
+        "items": _t_items(c),
+        "props": (props_rows, props_schema),
+        "labels": _t_labels(c),
+        "person": _t_person(c),
+        "geonames_gnd": _t_geonames(c, triples_rows),
+        "linked_mentions": _t_linked(c),
+        "components": _t_components(triples_rows),
+        "snak_values_P31": _t_snak_values(c, "P31"),
+        "doi_report": _t_doi_report(triples_rows),
+        "inverted_index": _t_inverted_index(triples_rows, props_rows),
+        "wikitext": _t_wikitext(c),
+    }
+    for name, (rows, schema) in tables.items():
+        _write(os.path.join(out, f"{name}.parquet"), rows, schema)
+    with open(os.path.join(out, "_meta.json"), "w") as f:
+        json.dump({"n": n, "version": VERSION, "tables": sorted(tables)}, f)
+    return out
+
+
+def ensure_golden(n: int = ORACLE_N) -> str:
+    """Idempotent: (re)build only when absent or version-stale."""
+    out = golden_dir(n)
+    meta = os.path.join(out, "_meta.json")
+    try:
+        with open(meta) as f:
+            m = json.load(f)
+        if m.get("n") == n and m.get("version") == VERSION:
+            return out
+    except (OSError, ValueError):
+        pass
+    return build_golden(n)

@@ -86,30 +86,68 @@ def geonames_gnd_join(triples: DataFrame, items: DataFrame) -> DataFrame:
     )
 
 
-def inverted_index(
+def inverted_index_entries(triples: DataFrame) -> DataFrame:
+    """The per-property subject index itself as flat (pred, subj) rows —
+    the representation that survives 100 TB.  The reference streams hot
+    properties to per-property files (cntprops.pl:96-134); here the
+    downstream write is ``.write.partitionBy('pred')``, so a mega-predicate
+    (10^8+ subjects) is spread across that predicate's partition files and
+    NO task ever materializes one predicate's full subject set (the
+    round-1 collect_set design did, and was flagged as the scale killer)."""
+    return triples.select("pred", "subj").distinct()
+
+
+def inverted_index_stats(
     triples: DataFrame, props: DataFrame, hot_threshold: int = 800_000
 ) -> DataFrame:
-    """cntprops.pl:16,54-134: per-property subject index with the
-    cardinality-adaptive layout decision surfaced as a column.
-
-    The reference streams hot properties (use_cnt >= 800k) to files and
-    bitmap-compresses them, keeping rare ones in memory.  Columnar Spark
-    needs one layout — (pred, sorted subject array) — but the hot/cold
-    routing survives as ``layout`` ('bitmap' vs 'list'), the signal a
-    downstream writer uses to partition hot predicates into their own
-    files (and the AQE skew-split handles them in joins)."""
-    per_pred = (
-        triples.select("pred", "subj")
-        .distinct()
-        .groupBy("pred")
-        .agg(F.array_sort(F.collect_set("subj")).alias("subjects"), F.count(F.lit(1)).alias("n"))
+    """cntprops.pl:16,54-134: per-property cardinality + the
+    cardinality-adaptive layout decision (use_cnt >= 800k -> 'bitmap',
+    else 'list') surfaced as a routing column.  Pure hash aggregation —
+    no per-predicate array is ever built."""
+    per_pred = inverted_index_entries(triples).groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n")
     )
     use = props.select(F.col("prop").alias("pred"), "use_cnt")
-    return per_pred.join(use, "pred", "left").select(
+    return per_pred.join(F.broadcast(use), "pred", "left").select(
         "pred",
         "n",
         F.when(F.coalesce("use_cnt", F.col("n")) >= hot_threshold, "bitmap")
         .otherwise("list")
         .alias("layout"),
-        "subjects",
     )
+
+
+def write_inverted_index(
+    triples: DataFrame, path: str, sort_subjects: bool = True
+) -> None:
+    """Materialize the index partitioned by predicate (the reference's
+    props/P#### per-property files, cntprops.pl:96-134).  Repartition on
+    pred first so each predicate's rows land in a bounded number of
+    writer tasks instead of tasks x preds small files."""
+    df = inverted_index_entries(triples).repartition(F.col("pred"))
+    if sort_subjects:
+        df = df.sortWithinPartitions("subj")
+    df.write.mode("overwrite").partitionBy("pred").parquet(path)
+
+
+def inverted_index(
+    triples: DataFrame,
+    props: DataFrame,
+    hot_threshold: int = 800_000,
+    array_cap: int = 100_000,
+) -> DataFrame:
+    """Array-materialized view of the index for COLD predicates only
+    (n < array_cap): (pred, n, layout, subjects).  Hot/mega predicates get
+    ``subjects = NULL`` — their listing lives in the partitioned
+    ``inverted_index_entries`` output, never in one row.  This keeps the
+    reference's list-vs-bitmap duality (cntprops.pl:68-77) without the
+    one-task-holds-a-mega-array failure mode."""
+    stats = inverted_index_stats(triples, props, hot_threshold)
+    cold = stats.filter(F.col("n") < array_cap).select("pred")
+    arrays = (
+        inverted_index_entries(triples)
+        .join(F.broadcast(cold), "pred", "left_semi")
+        .groupBy("pred")
+        .agg(F.array_sort(F.collect_set("subj")).alias("subjects"))
+    )
+    return stats.join(arrays, "pred", "left").select("pred", "n", "layout", "subjects")

@@ -259,7 +259,9 @@ def with_authctrl(items: DataFrame) -> DataFrame:
     )
     return items.withColumn("p31", p31).withColumn(
         "is_authctrl",
-        (F.col("type") == "item") & (claimed | (F.col("p31") == "Q5")),
+        # eqNullSafe: a missing P31 means "not human", not SQL-NULL — the
+        # reference's `exists` checks are two-valued (wdq1.pl:607,615)
+        (F.col("type") == "item") & (claimed | F.col("p31").eqNullSafe("Q5")),
     )
 
 

@@ -677,9 +677,22 @@ def _q_v1(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# KG-pipeline queries (rows-only: variant parse / trie UDF / iterative CC
-# are not ANSI-SQL-expressible; correctness carried by tests/golden oracle)
+# KG-pipeline queries.  The pipeline runs on the deterministic synthetic
+# corpus, so most outputs have a FULL golden oracle: a pure-Python
+# re-derivation (golden.py) writes the expected tables as parquet and the
+# oracle SQL is a read_parquet over them — the driver then compares the
+# Spark pipeline's output row-for-row.  Only the hash-seeded ops
+# (minhash/simhash/LSH use JVM xxhash64) and the binary-stub multimodal op
+# stay rows-only.
 # ---------------------------------------------------------------------------
+
+from .golden import golden_dir as _golden_dir
+
+_G = _golden_dir()
+
+
+def _gp(table: str) -> str:
+    return f"read_parquet('{_G}/{table}.parquet')"
 
 
 def _kg_parsed(spark, sf_dir):
@@ -691,33 +704,49 @@ def _kg_parsed(spark, sf_dir):
     return parse_entities(extract_text(pages))
 
 
-@q("kg1_triples")
+@q("kg1_triples", f"SELECT subj, pred, obj, src_url FROM {_gp('triples')}")
 def _q_kg1(spark, sf_dir):
     from .operators.triples import extract_triples
 
     return extract_triples(_kg_parsed(spark, sf_dir))
 
 
-@q("kg2_text_extraction")
+@q("kg2_text_extraction", f"SELECT url, text, ent_diag FROM {_gp('pages_text')}")
 def _q_kg2(spark, sf_dir):
+    # byte-identical text invariant (wkt1.pl:153-295), oracle-checked per url
     return _kg_parsed(spark, sf_dir).select("url", "text", "ent_diag")
 
 
-@q("kg3_props_catalog")
+@q("kg3_props_catalog", f"SELECT * FROM {_gp('props')}")
 def _q_kg3(spark, sf_dir):
     from .operators.triples import props_catalog
 
     return props_catalog(_kg_parsed(spark, sf_dir))
 
 
-@q("kg4_items_catalog")
+@q("kg4_items_catalog", f"SELECT * FROM {_gp('items')}")
 def _q_kg4(spark, sf_dir):
     from .operators.triples import items_table
 
-    return items_table(_kg_parsed(spark, sf_dir)).drop("claims_list", "filtered_props")
+    df = items_table(_kg_parsed(spark, sf_dir))
+    cnt_cols = [c for c in df.columns if c.startswith("cnt_")]
+    return df.select(
+        "url", "id", "id_num", "type", "revid",
+        *[F.col(c).cast("long").alias(c) for c in cnt_cols],
+        "lang", "label",
+        F.to_json("filtered_props").alias("filtered_props"),
+        F.to_json("claims_list").alias("claims_list"),
+        "p31", "is_authctrl",
+    )
 
 
-@q("kg5_linked_mentions")
+@q(
+    "kg5_linked_mentions",
+    f"""
+    SELECT url, surface, begin, "end", qid, n_candidates
+    FROM {_gp('linked_mentions')}
+    """,
+)
 def _q_kg5(spark, sf_dir):
     from . import datagen
     from .operators.linking import link_mentions
@@ -725,12 +754,20 @@ def _q_kg5(spark, sf_dir):
 
     parsed = _kg_parsed(spark, sf_dir)
     aliases = datagen.gen_aliases(spark)
-    return link_mentions(
+    linked = link_mentions(
         detect_mentions(parsed, aliases), aliases, datagen.gen_entity_catalog(spark)
+    )
+    # score not exported: log1p drift between libm implementations would
+    # make a float column engine-dependent; winner pick is still score-based
+    return linked.select(
+        "url", "surface",
+        F.col("begin").cast("long").alias("begin"),
+        F.col("end").cast("long").alias("end"),
+        "qid", "n_candidates",
     )
 
 
-@q("kg6_canonical_components")
+@q("kg6_canonical_components", f"SELECT id, canonical_id FROM {_gp('components')}")
 def _q_kg6(spark, sf_dir):
     from .operators.canonicalize import canonical_map
     from .operators.triples import extract_triples
@@ -738,11 +775,15 @@ def _q_kg6(spark, sf_dir):
     return canonical_map(extract_triples(_kg_parsed(spark, sf_dir)))
 
 
-@q("kg7_all_snak_values_P31")
+@q(
+    "kg7_all_snak_values_P31",
+    f"SELECT subj, pred, snak_pos, obj, src_url FROM {_gp('snak_values_P31')}",
+)
 def _q_kg7(spark, sf_dir):
     from .operators.triples import all_snak_values, item_entities
 
-    return all_snak_values(item_entities(_kg_parsed(spark, sf_dir)), "P31")
+    df = all_snak_values(item_entities(_kg_parsed(spark, sf_dir)), "P31")
+    return df.withColumn("snak_pos", F.col("snak_pos").cast("long"))
 
 
 @q("kg8_minhash_near_dups")
@@ -777,7 +818,7 @@ def _q_kg11(spark, sf_dir):
     return image_features(gen_media(spark, 200))
 
 
-@q("kg12_person_table")
+@q("kg12_person_table", f"SELECT * FROM {_gp('person')}")
 def _q_kg12(spark, sf_dir):
     from .operators.crosswalk import person_table
     from .operators.triples import authctrl_table, item_entities, labels_table, with_authctrl, with_preferred_label
@@ -788,7 +829,7 @@ def _q_kg12(spark, sf_dir):
     return person_table(authctrl_table(items), labels)
 
 
-@q("kg13_geonames_gnd_join")
+@q("kg13_geonames_gnd_join", f"SELECT * FROM {_gp('geonames_gnd')}")
 def _q_kg13(spark, sf_dir):
     from .operators.crosswalk import geonames_gnd_join
     from .operators.triples import extract_triples, items_table
@@ -797,7 +838,7 @@ def _q_kg13(spark, sf_dir):
     return geonames_gnd_join(extract_triples(parsed), items_table(parsed))
 
 
-@q("kg14_wikitext_analysis")
+@q("kg14_wikitext_analysis", f"SELECT * FROM {_gp('wikitext')}")
 def _q_kg14(spark, sf_dir):
     from .operators.wikitext import analyze_pages_wikitext
 
@@ -807,24 +848,25 @@ def _q_kg14(spark, sf_dir):
     return df.select(
         "url",
         "doc_type",
-        "n_errors",
+        F.col("n_errors").cast("long").alias("n_errors"),
         F.to_json("errors").alias("errors"),
-        "heading_level",
+        F.col("heading_level").cast("long").alias("heading_level"),
         F.to_json("heading_words").alias("heading_words"),
     )
 
 
-@q("kg15_inverted_index")
+@q("kg15_inverted_index", f"SELECT pred, n, layout FROM {_gp('inverted_index')}")
 def _q_kg15(spark, sf_dir):
-    from .operators.crosswalk import inverted_index
+    from .operators.crosswalk import inverted_index_stats
     from .operators.triples import extract_triples, props_catalog
 
     parsed = _kg_parsed(spark, sf_dir)
-    idx = inverted_index(extract_triples(parsed), props_catalog(parsed), hot_threshold=500)
-    return idx.drop("subjects").withColumn("n", idx.n)
+    return inverted_index_stats(
+        extract_triples(parsed), props_catalog(parsed), hot_threshold=500
+    )
 
 
-@q("kg16_doi_report")
+@q("kg16_doi_report", f"SELECT prefix, verdict, cnt FROM {_gp('doi_report')}")
 def _q_kg16(spark, sf_dir):
     from .functions.validators import doi_report
     from .operators.triples import extract_triples

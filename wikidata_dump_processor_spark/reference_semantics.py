@@ -17,6 +17,25 @@ from .schemas import FILTER_BANK, LANGS, RAW_MENTION_PATTERNS
 _MENTION_RES = {p: re.compile(pat, re.IGNORECASE) for p, pat in RAW_MENTION_PATTERNS.items()}
 
 
+def _canon_nums(x):
+    """Integral floats render without the trailing '.0' — matching both
+    Perl's decode/encode_json numeric round-trip (an NV 40.0 re-encodes as
+    40) and Spark VARIANT's to_json; Python's json.dumps alone would emit
+    '40.0' and break byte-level agreement on JSON-encoded struct values."""
+    if isinstance(x, dict):
+        return {k: _canon_nums(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_canon_nums(v) for v in x]
+    if isinstance(x, float) and x.is_integer():
+        return int(x)
+    return x
+
+
+def json_encode_value(x) -> str:
+    """Filter.pm:98-101 encode_json fallback, canonical form."""
+    return json.dumps(_canon_nums(x), separators=(",", ":"), sort_keys=True)
+
+
 def _extract(x, transform: int):
     """Filter.pm:76-108 _extract."""
     if transform == 1 and isinstance(x, dict):
@@ -24,7 +43,7 @@ def _extract(x, transform: int):
         prefix = {"item": "Q", "property": "P"}.get(et)  # no lexeme branch
         return f"{prefix}{x['numeric-id']}" if prefix is not None else None
     if isinstance(x, dict):
-        return json.dumps(x, separators=(",", ":"), sort_keys=True)
+        return json_encode_value(x)
     return x
 
 
