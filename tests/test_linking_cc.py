@@ -90,9 +90,47 @@ def test_connected_components_chain_and_singleton(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "src string, dst string"
     )
+    expected = {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                ("x", "x"), ("y", "x")}
+    # small regime: driver union-find
     got = {(r.id, r.component) for r in connected_components(edges).collect()}
-    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
-                   ("x", "x"), ("y", "x")}
+    assert got == expected
+    # large regime forced: the distributed star loop must agree
+    got_dist = {
+        (r.id, r.component)
+        for r in connected_components(edges, driver_edge_threshold=0).collect()
+    }
+    assert got_dist == expected
+
+
+def test_rewrite_triples_shuffle_fallback(spark):
+    """Oversized-remap path: above broadcast_limit the rewrite must fall
+    back to shuffle joins and still produce identical output."""
+    triples = spark.createDataFrame(
+        [("q2", "P31", "q2", "u"), ("q3", "P279", "q9", "u")],
+        "subj string, pred string, obj string, src_url string",
+    )
+    cmap = spark.createDataFrame(
+        [("q2", "q1"), ("q3", "q3"), ("q9", "q1")], "id string, canonical_id string"
+    )
+    a = sorted(map(tuple, rewrite_triples(triples, cmap).collect()))
+    b = sorted(map(tuple, rewrite_triples(triples, cmap, broadcast_limit=0).collect()))
+    assert a == b == [("q1", "P31", "q1", "u"), ("q3", "P279", "q1", "u")]
+
+
+def test_detect_mentions_alias_gate(spark, monkeypatch):
+    """Alias dictionaries over the driver-collect gate fail loudly instead
+    of OOMing the driver."""
+    from wikidata_dump_processor_spark.operators import mentions as M
+
+    monkeypatch.setattr(M, "MAX_BROADCAST_ALIASES", 2)
+    aliases = spark.createDataFrame(
+        [("a", "Q1", "en", True), ("b", "Q2", "en", True), ("c", "Q3", "en", True)],
+        "alias string, id string, lang string, is_primary boolean",
+    )
+    pages = spark.createDataFrame([("u", "a b c")], "url string, text string")
+    with pytest.raises(ValueError, match="alias dictionary"):
+        M.detect_mentions(pages, aliases)
 
 
 def test_canonicalization_on_shared_viaf(spark):

@@ -76,30 +76,62 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_cc(spark, edge_rows) -> DataFrame:
+    """Union-find over a collected edge list; component = min string id.
+    Only ever called below ``driver_edge_threshold`` (bounded memory)."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src, dst in edge_rows:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp_min: dict[str, str] = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    rows = [(x, comp_min[find(x)]) for x in parent]
+    return spark.createDataFrame(rows, "id string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
-    small_edge_threshold: int = 10_000_000,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) -> (id, component) where component is the minimum
-    node id of the component.  Alternates large-star/small-star until the
-    edge set is a fixpoint of stars (every node points to its component
-    min).
+    node id of the component.
 
-    Latency/scale duality: each iteration is a handful of tiny sequential
-    shuffle stages, so when the edge set is small the loop is pure driver
-    latency — AQE's per-stage re-planning and a wide shuffle fan-out only
-    add overhead.  Below ``small_edge_threshold`` edges the loop therefore
-    runs with AQE off and a narrow shuffle (the reference makes the same
-    cardinality-adaptive physical choice for its inverted index,
-    cntprops.pl:16,68-77); above it, AQE + the session's shuffle width
-    handle skewed stars."""
+    Cardinality-adaptive physical choice (the reference makes the same
+    kind of call for its inverted index, cntprops.pl:16,68-77):
+
+    * **small regime** (<= ``driver_edge_threshold`` distinct edges, ~60 MB
+      at 1M edges): union-find on the driver.  The alternating-star loop
+      would spend its whole wall time on per-iteration job latency here,
+      and the collect is bounded by the explicit threshold — merge-edge
+      sets are tiny relative to the corpus (they count *merges*, not
+      documents).
+    * **large regime**: large-star/small-star iteration (Kiveris et al.,
+      SoCC 2014) under the session's own conf — AQE stays ON and handles
+      skewed stars; no session-global conf is mutated (a concurrent query
+      planned mid-loop must not silently compile with AQE off)."""
     spark = edges.sparkSession
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    # lazy checkpoint: the signature job below is the action that
-    # materializes it — one Spark job per iteration, not two, while still
-    # truncating lineage every round (plan growth is the scale hazard).
+    # lazy checkpoint: the count below materializes it — one job, and the
+    # loop's lineage is truncated from the start (plan growth hazard).
     e = e.localCheckpoint(eager=False)
+    n_edges = e.count()
+    if n_edges <= driver_edge_threshold:
+        return _driver_cc(spark, [(r[0], r[1]) for r in e.collect()])
 
     def _sig(df):
         # one cheap job: (row count, order-insensitive hash sum) identifies
@@ -110,31 +142,14 @@ def connected_components(
         ).first()
         return (r.n, r.h)
 
-    sig = _sig(e)
-    loop_conf = {}
-    if sig[0] <= small_edge_threshold:
-        par = spark.sparkContext.defaultParallelism
-        loop_conf = {
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.shuffle.partitions": str(max(2, min(8, par))),
-        }
-    saved = {k: spark.conf.get(k, None) for k in loop_conf}
-    try:
-        for k, v in loop_conf.items():
-            spark.conf.set(k, v)
-        for _ in range(max_iter):
-            e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            sig2 = _sig(e2)
-            e = e2
-            if sig2 == sig:
-                break
-            sig = sig2
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    sig = (n_edges, None)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        sig2 = _sig(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
     nodes = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     ).distinct()
@@ -157,22 +172,32 @@ def canonical_map(triples: DataFrame, preds: list[str] | None = None) -> DataFra
     )
 
 
-def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame, cmap: DataFrame, broadcast_limit: int = 10_000_000
+) -> DataFrame:
     """Rewrite subjects (and entity-valued objects) through the resolution
     map — the J4-style lookup join (cntprops.pl:64-77 model).
 
     Only NON-identity mappings are joined: the map is dominated by
     singletons mapping to themselves, which the ``coalesce`` fallback
     already handles — broadcasting them would ship (and hash-build) the
-    whole node catalog per executor for no effect.  The broadcast side is
-    therefore just the merged entities (tiny even at 10^12 docs: bounded
-    by the number of *merges*, not nodes)."""
-    remap = cmap.filter(F.col("id") != F.col("canonical_id"))
+    whole node catalog per executor for no effect.
+
+    The broadcast is SIZE-GATED: "bounded by the number of merges" is a
+    heuristic, not an invariant (a pathological shared-identifier corpus
+    — VIAF spam — can make the remap arbitrarily large), so the remap is
+    counted first and above ``broadcast_limit`` rows the rewrite falls
+    back to shuffle joins, where AQE's skew split handles hot canonical
+    ids."""
+    remap = cmap.filter(F.col("id") != F.col("canonical_id")).localCheckpoint(eager=False)
+    small = remap.count() <= broadcast_limit
     subj_map = remap.select(F.col("id").alias("subj"), F.col("canonical_id").alias("_cs"))
     obj_map = remap.select(F.col("id").alias("obj"), F.col("canonical_id").alias("_co"))
+    if small:
+        subj_map, obj_map = F.broadcast(subj_map), F.broadcast(obj_map)
     out = (
-        triples.join(F.broadcast(subj_map), "subj", "left")
-        .join(F.broadcast(obj_map), "obj", "left")
+        triples.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
         .select(
             F.coalesce("_cs", "subj").alias("subj"),
             "pred",

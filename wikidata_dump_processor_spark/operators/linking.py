@@ -87,7 +87,12 @@ def link_mentions(
     side (``resolve_surfaces``), so the mention stream — the 10^12-row
     side — is never shuffled: one broadcast (or salted) map-side join and
     done.  Head-surface skew (a mega-entity alias in 20% of pages) cannot
-    concentrate a partition because there is no exchange on surface."""
+    concentrate a partition because there is no exchange on surface.
+
+    Contract: multiplicity-preserving — one output row per input mention
+    row, duplicates included (duplicate page urls in the input produce
+    duplicate mention triples downstream).  Callers needing
+    one-row-per-mention semantics dedup the mention stream first."""
     best = resolve_surfaces(aliases, catalog)
     if broadcast:
         return mentions.join(F.broadcast(best), "surface")

@@ -86,6 +86,12 @@ def _word_bounded(text: str, b: int, e: int) -> bool:
 # slow to compile / match; fall back to the Aho-Corasick automaton.
 REGEX_DICT_LIMIT = 5000
 
+# Hard gate on the driver-side alias collect: ~50 bytes/surface means 2e7
+# aliases ≈ 1 GB of driver heap for the list + automaton.  Beyond that the
+# dictionary must be partitioned (shard the alias table, union the scans)
+# — fail loudly instead of silently OOMing the driver.
+MAX_BROADCAST_ALIASES = 20_000_000
+
 
 def _compiled_alternation(patterns: list[str]):
     """Longest-first alternation with word boundaries: Python's regex engine
@@ -115,7 +121,15 @@ def detect_mentions(
     dictionaries).  Both run inside the same Arrow-batched mapInPandas.
     """
     spark = pages_text.sparkSession
-    alias_list = [r.alias.lower() for r in aliases.select("alias").distinct().collect()]
+    distinct_aliases = aliases.select("alias").distinct()
+    n_aliases = distinct_aliases.count()
+    if n_aliases > MAX_BROADCAST_ALIASES:
+        raise ValueError(
+            f"alias dictionary has {n_aliases} surfaces, over the "
+            f"{MAX_BROADCAST_ALIASES} driver-collect gate; shard the alias "
+            "table and union detect_mentions scans per shard"
+        )
+    alias_list = [r.alias.lower() for r in distinct_aliases.collect()]
     bc = spark.sparkContext.broadcast(alias_list)
     use_regex = (not force_automaton) and len(alias_list) <= REGEX_DICT_LIMIT
 
