@@ -168,6 +168,27 @@ def test_canonicalization_on_shared_viaf(spark):
         assert m not in subj_set
 
 
+def test_fused_scan_equals_two_pass(spark):
+    """extract_and_detect (one Arrow pass) must equal
+    detect_mentions(extract_text(...)) (two passes) exactly — same
+    extracted frame, same mention set with multiplicity."""
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        extract_and_detect,
+        exploded_mentions,
+    )
+
+    pages = datagen.gen_pages(spark, 300).cache()
+    aliases = datagen.gen_aliases(spark)
+    fused = extract_and_detect(pages, aliases).cache()
+    two_pass_ext = extract_text(pages)
+    assert fused.drop("mentions").exceptAll(two_pass_ext).count() == 0
+    assert two_pass_ext.exceptAll(fused.drop("mentions")).count() == 0
+    a, b = exploded_mentions(fused), detect_mentions(two_pass_ext, aliases)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    pages.unpersist()
+    fused.unpersist()
+
+
 def test_regex_and_automaton_kernels_agree(corpus, spark):
     """Both mention-scan kernels implement the same semantics."""
     ext, aliases = corpus

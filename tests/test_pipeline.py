@@ -105,3 +105,30 @@ def test_canonical_subjects_are_merged(result, spark, out):
         members = sorted(g.m, key=lambda q: (len(q), q))
         for loser in members[1:]:
             assert loser not in cano_subjects
+
+
+def test_preflight_gates(spark, tmp_path):
+    """St6 (wdq0.pl:163-181, 278-281): completeness/size sanity gates fail
+    BEFORE any stage commits."""
+    from wikidata_dump_processor_spark.plans.pipeline import (
+        IncompleteInputError,
+        preflight_input_gate,
+    )
+
+    pages = datagen.gen_pages(spark, 50)
+    ppath = str(tmp_path / "pages")
+    pages.write.parquet(ppath)
+    size = preflight_input_gate(spark, ppath, min_bytes=1)
+    assert size > 0
+    with pytest.raises(IncompleteInputError, match="in progress"):
+        preflight_input_gate(spark, ppath, min_bytes=size + 1)
+    with pytest.raises(IncompleteInputError, match="maximum"):
+        preflight_input_gate(spark, ppath, max_bytes=size - 1)
+    # row-count gate inside run_pipeline: nothing commits on failure
+    out2 = str(tmp_path / "pipe")
+    with pytest.raises(IncompleteInputError, match="outside expected"):
+        run_pipeline(
+            spark, spark.read.parquet(ppath), datagen.gen_aliases(spark), out2,
+            expected_pages=(1000, None),
+        )
+    assert not os.path.exists(os.path.join(out2, "extracted"))

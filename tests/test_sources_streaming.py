@@ -98,3 +98,52 @@ def test_doi_fixture_flows_through_engine(spark):
     rep = {(r.prefix, r.verdict): r.cnt for r in doi_report(tr).collect()}
     assert any(k[1] == "good" for k in rep)
     assert any(k[1] == "denylisted" for k in rep)  # datagen plants 10.38/...
+
+
+def test_json_writers_roundtrip(spark, tmp_path):
+    """K3 (wdq1.pl:759-768, 822-828): ndjson sink, streamed JSON array,
+    and the single-object props.json export."""
+    import json
+
+    from wikidata_dump_processor_spark.sources.readers import (
+        read_json_lines,
+        write_json,
+        write_json_array,
+        write_props_json,
+    )
+
+    df = spark.createDataFrame(
+        [("Q1", 2, ["a", "b"]), ("Q2", 0, [])],
+        "id string, n int, tags array<string>",
+    )
+    # ndjson roundtrip
+    p = str(tmp_path / "nd")
+    write_json(df, p)
+    back = read_json_lines(spark, p, schema=df.schema)
+    assert back.count() == 2 and {r.id for r in back.collect()} == {"Q1", "Q2"}
+    # streamed array: valid JSON array of the same objects
+    ap = str(tmp_path / "authctrl.json")
+    write_json_array(df, ap)
+    arr = json.load(open(ap))
+    assert isinstance(arr, list) and {r["id"] for r in arr} == {"Q1", "Q2"}
+    # props.json: single object keyed by the key column
+    pp = str(tmp_path / "props.json")
+    write_props_json(df, pp, key_col="id")
+    obj = json.load(open(pp))
+    assert set(obj) == {"Q1", "Q2"} and obj["Q1"]["n"] == 2
+
+
+def test_ns_usage_catalog(spark):
+    """A10 (wkt1.pl:176-180, 297-307): per-namespace page counts joined to
+    the scanned namespace catalog."""
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        extract_text,
+        ns_usage,
+    )
+
+    ext = extract_text(datagen.gen_pages(spark, 100))
+    rows = ns_usage(ext).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ns_id == "0" and r.n_pages == 100
+    assert r.ns_name == "Main" and r.ns_case == "first-letter"

@@ -145,3 +145,17 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.media_id] == r.phash for r in imgs)
     frames = M.sample_frames(media).collect()
     assert frames and all(r.frame_idx < 4 for r in frames)
+
+
+def test_multimodal_decoder_feature_gate(monkeypatch):
+    """The decode kernel picks PIL when importable, else the deterministic
+    stub; MULTIMODAL_FORCE_STUB=1 pins the stub either way."""
+    monkeypatch.setenv("MULTIMODAL_FORCE_STUB", "1")
+    assert M._pick_decoder() is M._decode_image_stub
+    monkeypatch.delenv("MULTIMODAL_FORCE_STUB")
+    try:
+        import PIL.Image  # noqa: F401
+
+        assert M._pick_decoder() is M._decode_image_pil
+    except ImportError:  # this container: no PIL -> stub fallback
+        assert M._pick_decoder() is M._decode_image_stub

@@ -3,36 +3,39 @@ clusters (BASELINE.json north_rule: throughput scaling efficiency >= 0.8).
 
 Runs the identical KG pipeline on identical input at local[N] and
 local[4N] in fresh JVMs and reports throughput at both plus
-eff = throughput_4N / (4 * throughput_N) into BENCH/BASELINE.md.
+eff = throughput_4N / (4 * throughput_N) into BENCH/BASELINE.md (and all
+raw reps into BENCH/scaling.json).
 
-Level choice: this is ONE box, so all cores share one memory/loopback
-bandwidth domain.  A real cluster scales bandwidth with executor count
-(each node brings its own DRAM, disks, NICs); a single box does not, so
-above ~8 busy cores the Arrow page<->python exchange saturates the shared
-memory bus and adding cores measures the bus, not the engine.  Default
-levels are therefore N=1 vs 4N=4 — both comfortably under the box's
-bandwidth ceiling, so the measurement isolates what a cluster actually
-scales: CPU-parallel work.  Override with SCALING_LEVELS="8,32".
+Level choice: the criterion's own levels are N=2 vs 4N=8 (BASELINE.md).
+This is ONE box, so all cores share one memory/loopback bandwidth domain;
+a real cluster scales bandwidth with executor count.  The fused
+extract+scan pass (text crosses the Arrow bus once) exists precisely to
+stay under that ceiling at 8 busy cores.  Override with
+SCALING_LEVELS="1,4".
 
 Usage: python tools/scaling_bench.py [repeats]
-Env: SCALING_N (pages, default 800000), SCALING_LEVELS (default "1,4"),
-SCALING_RUN_TIMEOUT (secs per rep before kill+retry, default 1200).
+Env: SCALING_N (pages, default 800000), SCALING_LEVELS (default "2,8"),
+SCALING_RUN_TIMEOUT (secs per rep before kill+retry, default 1200),
+SCALING_SATURATED (extra absolute-throughput core counts, default "32").
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(","))
+LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(","))
 assert len(LEVELS) == 2 and LEVELS[1] == 4 * LEVELS[0], "need N and 4N"
 
 
 PAGES_PATH = "/dev/shm/scaling_pages"
+SCRATCH = os.environ.get("BENCH_SCRATCH", "/dev/shm/bench_scratch")
 
 
 def pregen(n: int) -> None:
@@ -47,8 +50,9 @@ def pregen(n: int) -> None:
         rows = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{PAGES_PATH}/*.parquet"))
         if rows == n:
             return
-    except OSError:
-        pass
+    except Exception:
+        # torn/partial table (OSError, pyarrow.ArrowInvalid, ...) -> regen
+        shutil.rmtree(PAGES_PATH, ignore_errors=True)
     code = (
         "import sys; sys.path.insert(0, '.');"
         "from wikidata_dump_processor_spark.session import get_spark;"
@@ -60,16 +64,27 @@ def pregen(n: int) -> None:
                    capture_output=True, timeout=1800)
 
 
+def _wipe_scratch() -> None:
+    """A killed (timed-out) bench child never runs its finally-cleanup;
+    stale bench_kg_* stage outputs + spark-local dirs would otherwise
+    accumulate on the RAM-backed scratch tmpfs and corrupt later reps."""
+    if os.path.isdir(SCRATCH):
+        for entry in os.listdir(SCRATCH):
+            shutil.rmtree(os.path.join(SCRATCH, entry), ignore_errors=True)
+
+
 def run_once(cpus: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ONLY="kg_pipeline",
         BENCH_PAGES_PATH=PAGES_PATH,
+        BENCH_SCRATCH=SCRATCH,
         SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     timeout = int(os.environ.get("SCALING_RUN_TIMEOUT", "1200"))
     for attempt in range(3):
+        _wipe_scratch()
         try:
             out = subprocess.run(
                 [sys.executable, "bench.py"], cwd=REPO, env=env,
@@ -115,59 +130,95 @@ def main():
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     lo, hi = LEVELS
     pregen(int(os.environ.get("SCALING_N", "800000")))
-    results: dict[int, list] = {lo: [], hi: []}
+    saturated = [
+        int(x) for x in os.environ.get("SCALING_SATURATED", "32").split(",") if x
+    ]
+    results: dict[int, list] = {c: [] for c in (*LEVELS, *saturated)}
     for _ in range(repeats):
         for cpus in LEVELS:
             r = run_once(cpus)
             results[cpus].append(r)
             print(f"local[{cpus}]: {r['queries']['kg_pipeline']}s, "
                   f"{r['pages_per_sec']} pages/s, {r['triples_per_sec']} triples/s")
+    for cpus in saturated:  # absolute-throughput anchor, one rep
+        r = run_once(cpus)
+        results[cpus].append(r)
+        print(f"local[{cpus}] (saturated point): {r['pages_per_sec']} pages/s")
 
-    best = {c: max(results[c], key=lambda r: r["pages_per_sec"]) for c in LEVELS}
-    tput_lo, tput_hi = best[lo]["pages_per_sec"], best[hi]["pages_per_sec"]
-    eff = tput_hi / (4 * tput_lo)
+    def best(c):
+        return max(results[c], key=lambda r: r["pages_per_sec"])
+
+    def med(c):
+        return statistics.median(r["pages_per_sec"] for r in results[c])
+
+    tput_lo, tput_hi = best(lo)["pages_per_sec"], best(hi)["pages_per_sec"]
+    eff_best = tput_hi / (4 * tput_lo)
+    eff_med = med(hi) / (4 * med(lo))
     cpu_eff = cpu_control(lo, hi)
+    met = eff_best >= 0.8
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(
+            {
+                "levels": LEVELS,
+                "eff_best": round(eff_best, 3),
+                "eff_median": round(eff_med, 3),
+                "cpu_control_eff": round(cpu_eff, 3),
+                "criterion_met": met,
+                "reps": {
+                    str(c): [
+                        {"wall_s": r["queries"]["kg_pipeline"],
+                         "pages_per_sec": r["pages_per_sec"],
+                         "triples_per_sec": r["triples_per_sec"]}
+                        for r in results[c]
+                    ]
+                    for c in results
+                },
+            },
+            f,
+            indent=1,
+        )
+    sat_lines = "".join(
+        f"| local[{c}] (saturated) | {best(c)['queries']['kg_pipeline']} | "
+        f"{best(c)['pages_per_sec']} | {best(c)['triples_per_sec']} |\n"
+        for c in saturated
+    )
     md = f"""# BENCH/BASELINE — scaling evidence ({time.strftime('%Y-%m-%d %H:%M')})
 
-Identical job (KG pipeline: byte-identical text extraction -> triple
-extraction -> mention detection + map-side linking -> CC canonicalization
--> materialized graph tables, all 7 stages snapshot-committed) on
-identical input ({best[lo]['kg_pages']} deterministic synthetic pages),
-run at two parallelism levels standing in for N vs 4N executor clusters
-(BASELINE.md criterion).  Timing excludes data generation and a 1/50-scale
-warm-up run (JIT/codegen + Python-worker pool spin-up are one-time costs a
-long-running cluster job amortizes).
+Identical job (KG pipeline: fused byte-identical text extraction +
+dictionary mention scan in one Arrow pass -> triple extraction ->
+map-side linking -> CC canonicalization -> materialized graph tables,
+all stages snapshot-committed) on identical input
+({best(lo)['kg_pages']} deterministic synthetic pages, pre-materialized
+parquet), run at the criterion's own parallelism levels N={lo} vs
+4N={hi} (BASELINE.md).  Timing excludes corpus generation and a
+1/50-scale warm-up (JIT/codegen + Python-worker spin-up are one-time
+costs a long-running cluster job amortizes).  Best of {repeats} repeats
+per level (host-VM noise is ±30% run-to-run); median shown alongside.
 
 | parallelism | wall (s) | pages/s | triples/s |
 |---|---|---|---|
-| local[{lo}]  (N)  | {best[lo]['queries']['kg_pipeline']} | {tput_lo} | {best[lo]['triples_per_sec']} |
-| local[{hi}] (4N) | {best[hi]['queries']['kg_pipeline']} | {tput_hi} | {best[hi]['triples_per_sec']} |
-
+| local[{lo}]  (N)  | {best(lo)['queries']['kg_pipeline']} | {tput_lo} | {best(lo)['triples_per_sec']} |
+| local[{hi}] (4N) | {best(hi)['queries']['kg_pipeline']} | {tput_hi} | {best(hi)['triples_per_sec']} |
+{sat_lines}
 **Scaling efficiency** eff = throughput_4N / (4 x throughput_N) =
-{tput_hi} / (4 x {tput_lo}) = **{eff:.3f}** (target >= 0.8).
+{tput_hi} / (4 x {tput_lo}) = **{eff_best:.3f}** best-of-repeats
+({eff_med:.3f} median-of-repeats); target >= 0.8 —
+**criterion {"MET" if met else "NOT MET"}** at the stated levels.
 
 Control: the same N-vs-4N process counts running a pure-CPU busy loop on
 this box scale at **{cpu_eff:.2f}** efficiency — compute parallelism is
-intact; the gap between the control and the pipeline number is the
+intact; any gap between the control and the pipeline number is the
 single box's shared memory/loopback bus under the pipeline's data
 movement (parquet write, Arrow JVM<->Python exchange, shuffle), which a
-real N->4N cluster scales with node count.
+real N->4N cluster scales with node count (each node brings its own
+DRAM/disks/NIC).  The fused extract+scan pass exists precisely to halve
+the Arrow traffic of the widest column (text) so both levels stay under
+the box's bandwidth ceiling.
 
-Why local[{lo}] vs local[{hi}]: this sandbox is one box, so every core
-shares a single memory-bandwidth/loopback domain.  A real cluster scales
-that bandwidth with executor count (each node brings its own DRAM/disks/
-NIC); one box does not — above ~8 busy cores the Arrow JVM<->Python
-exchange saturates the shared memory bus and the measurement reflects the
-bus, not the engine.  N={lo} vs 4N={hi} keeps both levels under the
-box's bandwidth ceiling so the run isolates the property the north rule
-is about: whether the job's *parallel structure* (partitioning, shuffle
-plan, skew handling, no driver-side serialization) scales with compute.
-
-Reference anchor: the reference processes ~278 items/s on one core
-(wdq1.pl:26); see BASELINE.md.  At local[{lo}] this engine does
-{tput_lo:.0f} pages/s on {lo} cores.
+Raw repeats: BENCH/scaling.json.  Reference anchor: the reference
+processes ~278 items/s on one core (wdq1.pl:26); see BASELINE.md.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)

@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r2-2"
+VERSION = "r2-3"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -567,6 +567,38 @@ def _t_wikitext(c: _Corpus):
     )
 
 
+def _t_ns_usage(c: _Corpus):
+    """wkt1.pl:176-180, 297-307: namespace catalog + per-page ns counts,
+    re-derived with flat regexes over the page XML (independent of the
+    engine's state machine)."""
+    cat: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    for i, url, text, diag, j in c.pages:
+        xml = datagen.page_xml(i)
+        for ns_id, ns_case, ns_name in re.findall(
+            r'<namespace key="([-\d]+)" case="([^"]+)">([^<]*)</namespace>', xml
+        ):
+            cat[ns_id] = (ns_case, ns_name)
+        m = re.search(r"<ns>([^<]+)</ns>", xml)
+        if m:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    rows = [
+        {
+            "ns_id": ns,
+            "n_pages": n,
+            "ns_case": cat.get(ns, (None, None))[0],
+            "ns_name": cat.get(ns, (None, None))[1],
+        }
+        for ns, n in sorted(counts.items())
+    ]
+    return rows, pa.schema(
+        [
+            ("ns_id", pa.string()), ("n_pages", pa.int64()),
+            ("ns_case", pa.string()), ("ns_name", pa.string()),
+        ]
+    )
+
+
 def _t_labels(c: _Corpus):
     rows = _labels_rows(c)
     fields = [("id", pa.string()), ("P31", pa.string())] + [
@@ -606,6 +638,7 @@ def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
         "doi_report": _t_doi_report(triples_rows),
         "inverted_index": _t_inverted_index(triples_rows, props_rows),
         "wikitext": _t_wikitext(c),
+        "ns_usage": _t_ns_usage(c),
     }
     for name, (rows, schema) in tables.items():
         _write(os.path.join(out, f"{name}.parquet"), rows, schema)

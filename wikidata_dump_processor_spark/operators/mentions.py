@@ -103,24 +103,10 @@ def _compiled_alternation(patterns: list[str]):
     )
 
 
-def detect_mentions(
-    pages_text: DataFrame,
-    aliases: DataFrame,
-    text_col: str = "text",
-    force_automaton: bool = False,
-) -> DataFrame:
-    """(url, text) x alias dictionary -> (url, surface, begin, end).
-
-    Matching is case-insensitive (the stored ``surface`` is the lowercased
-    alias) and word-bounded.  Overlapping matches: longest-leftmost wins
-    (standard dictionary-linking behavior).
-
-    Two kernels behind the same semantics: a compiled alternation regex
-    (C-speed, default for dictionaries up to REGEX_DICT_LIMIT surfaces)
-    and the Aho-Corasick automaton (linear in text, for web-scale alias
-    dictionaries).  Both run inside the same Arrow-batched mapInPandas.
-    """
-    spark = pages_text.sparkSession
+def broadcast_alias_list(aliases: DataFrame):
+    """Distinct lowercased surfaces as a Spark broadcast, behind the
+    driver-collect gate."""
+    spark = aliases.sparkSession
     distinct_aliases = aliases.select("alias").distinct()
     n_aliases = distinct_aliases.count()
     if n_aliases > MAX_BROADCAST_ALIASES:
@@ -130,39 +116,65 @@ def detect_mentions(
             "table and union detect_mentions scans per shard"
         )
     alias_list = [r.alias.lower() for r in distinct_aliases.collect()]
-    bc = spark.sparkContext.broadcast(alias_list)
+    return spark.sparkContext.broadcast(alias_list)
+
+
+def make_scanner(alias_list: list[str], force_automaton: bool = False):
+    """Executor-side scan kernel: lowercased text -> [(surface, begin,
+    end)].  Two kernels behind the same semantics (case-insensitive,
+    word-bounded, longest-leftmost non-overlapping): a compiled
+    alternation regex (C-speed, up to REGEX_DICT_LIMIT surfaces) and the
+    Aho-Corasick automaton (linear in text, for web-scale dictionaries).
+    """
     use_regex = (not force_automaton) and len(alias_list) <= REGEX_DICT_LIMIT
+    rx = _compiled_alternation(alias_list) if use_regex else None
+    ac = None if use_regex else AhoCorasick(alias_list)
+
+    def scan(low: str) -> list[tuple[str, int, int]]:
+        if rx is not None:
+            return [(m.group(1), m.start(1), m.end(1)) for m in rx.finditer(low)]
+        matches = [(b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)]
+        # longest-leftmost: sort by (begin, -len), drop overlaps
+        matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+        out: list[tuple[str, int, int]] = []
+        last_end = -1
+        for b, e, p in matches:
+            if b < last_end:
+                continue
+            last_end = e
+            out.append((p, b, e))
+        return out
+
+    return scan
+
+
+def detect_mentions(
+    pages_text: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    force_automaton: bool = False,
+) -> DataFrame:
+    """(url, text) x alias dictionary -> (url, surface, begin, end).
+
+    Standalone form of the scan — ships the text column over the Arrow
+    bus a second time if the input was itself produced by a Python stage;
+    inside the pipeline prefer the fused
+    ``text_extract.extract_and_detect`` (one Arrow crossing per page).
+    """
+    bc = broadcast_alias_list(aliases)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rx = _compiled_alternation(bc.value) if use_regex else None
-        ac = None if use_regex else AhoCorasick(bc.value)
+        kern = make_scanner(bc.value, force_automaton)
         for pdf in batches:
             urls, surfaces, begins, ends = [], [], [], []
             for url, text in zip(pdf["url"], pdf[text_col]):
                 if not isinstance(text, str) or not text:
                     continue
-                low = text.lower()
-                if rx is not None:
-                    for m in rx.finditer(low):
-                        urls.append(url)
-                        surfaces.append(m.group(1))
-                        begins.append(m.start(1))
-                        ends.append(m.end(1))
-                else:
-                    matches = [
-                        (b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)
-                    ]
-                    # longest-leftmost: sort by (begin, -len), drop overlaps
-                    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
-                    last_end = -1
-                    for b, e, p in matches:
-                        if b < last_end:
-                            continue
-                        last_end = e
-                        urls.append(url)
-                        surfaces.append(p)
-                        begins.append(b)
-                        ends.append(e)
+                for s, b, e in kern(text.lower()):
+                    urls.append(url)
+                    surfaces.append(s)
+                    begins.append(b)
+                    ends.append(e)
             yield pd.DataFrame(
                 {"url": urls, "surface": surfaces, "begin": begins, "end": ends}
             )

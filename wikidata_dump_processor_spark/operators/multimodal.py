@@ -52,8 +52,8 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 def _decode_image_stub(payload: bytes) -> dict:
     """STUB decode: deterministic fake dimensions + perceptual hash derived
-    from the payload bytes.  Replace with PIL.Image.open in production.
-    Raises on empty payloads to exercise the per-row error channel."""
+    from the payload bytes.  Raises on empty payloads to exercise the
+    per-row error channel."""
     if not payload:
         raise NotImplementedError("empty payload (real decoder would raise too)")
     h = hashlib.blake2b(payload, digest_size=16).digest()
@@ -64,12 +64,51 @@ def _decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def _decode_image_pil(payload: bytes) -> dict:
+    """Real decode via PIL (runtime feature-gated — the library is absent
+    in this container but present on a production cluster): dimensions +
+    an 8x8 average-hash perceptual hash."""
+    import io
+
+    from PIL import Image  # noqa: deferred — gated by _pick_decoder
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    g = img.convert("L").resize((8, 8))
+    px = list(g.getdata())
+    avg = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p >= avg:
+            bits |= 1 << i
+    if bits >= 1 << 63:  # into signed long
+        bits -= 1 << 64
+    return {"width": w, "height": h, "phash": bits}
+
+
+def _pick_decoder():
+    """PIL when importable (and not forced off via
+    MULTIMODAL_FORCE_STUB=1), else the deterministic stub — called inside
+    the executor kernel so the choice is made where the work runs."""
+    import os
+
+    if os.environ.get("MULTIMODAL_FORCE_STUB") != "1":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return _decode_image_pil
+        except ImportError:
+            pass
+    return _decode_image_stub
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched mapInPandas, one
     output row per input row, errors captured per row (never fail the
     task — the 100 TB rule: one corrupt jpeg must not kill a partition)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pick_decoder()
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "phash", "decode_error")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -77,7 +116,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 out["n_bytes"].append(len(b))
                 try:
-                    f = _decode_image_stub(b)
+                    f = decode(b)
                     out["width"].append(f["width"])
                     out["height"].append(f["height"])
                     out["phash"].append(f["phash"])

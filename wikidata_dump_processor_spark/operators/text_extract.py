@@ -116,41 +116,61 @@ def extract_page(doc: str) -> dict:
     return flushed
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {k: [] for k in ("url", "warc_ts", "lang", "title", "page_ns",
-                               "page_id", "rev_id", "rev_sha1", "text", "diag")}
-        for url, ts, html, pre_text, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
-        ):
-            out["url"].append(url)
-            out["warc_ts"].append(ts)
-            out["lang"].append(lang)
-            title = ns = pid = rid = rsha = None
-            diag = None
-            text = pre_text if isinstance(pre_text, str) else None
-            if html is not None:
-                try:
-                    doc = bytes(html).decode("utf-8")
-                except UnicodeDecodeError as e:  # skip-and-log (wdq1.pl:497-503)
-                    doc, diag = None, f"utf8: {e}"
-                if doc is not None:
-                    fr = extract_page(doc)
-                    title, ns, pid = fr.get("title"), fr.get("ns"), fr.get("id")
-                    rid, rsha = fr.get("rev_id"), fr.get("rev_sha1")
-                    extracted = fr.get("text")
-                    if extracted is None:
-                        diag = diag or "no <page> flushed"
-                    # extraction wins over a pre-filled text column: the
-                    # invariant is byte-identical text *from html* per url
-                    text = extracted if extracted is not None else text
-            elif text is None:
-                diag = "no html and no text"
-            for k, v in (("title", title), ("page_ns", ns), ("page_id", pid),
-                         ("rev_id", rid), ("rev_sha1", rsha), ("text", text),
-                         ("diag", diag)):
-                out[k].append(v)
-        yield pd.DataFrame(out)
+def _make_extract_kernel(scanner=None):
+    """Arrow-batched kernel: extraction state machine per row, and — when
+    ``scanner`` is given — the dictionary mention scan over the extracted
+    text IN THE SAME PASS, so the text column crosses the JVM<->Python
+    Arrow bus exactly once (it is the widest column in the pipeline; the
+    round-1 two-pass design shipped it twice and the second crossing
+    bounded strong scaling on a shared memory bus)."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_ts", "lang", "title", "page_ns",
+                                   "page_id", "rev_id", "rev_sha1", "text", "diag",
+                                   "namespaces")}
+            if scanner is not None:
+                out["mentions"] = []
+            for url, ts, html, pre_text, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["lang"].append(lang)
+                title = ns = pid = rid = rsha = None
+                diag = None
+                nslist: list = []
+                text = pre_text if isinstance(pre_text, str) else None
+                if html is not None:
+                    try:
+                        doc = bytes(html).decode("utf-8")
+                    except UnicodeDecodeError as e:  # skip-and-log (wdq1.pl:497-503)
+                        doc, diag = None, f"utf8: {e}"
+                    if doc is not None:
+                        fr = extract_page(doc)
+                        title, ns, pid = fr.get("title"), fr.get("ns"), fr.get("id")
+                        rid, rsha = fr.get("rev_id"), fr.get("rev_sha1")
+                        nslist = fr.get("namespaces") or []
+                        extracted = fr.get("text")
+                        if extracted is None:
+                            diag = diag or "no <page> flushed"
+                        # extraction wins over a pre-filled text column: the
+                        # invariant is byte-identical text *from html* per url
+                        text = extracted if extracted is not None else text
+                elif text is None:
+                    diag = "no html and no text"
+                for k, v in (("title", title), ("page_ns", ns), ("page_id", pid),
+                             ("rev_id", rid), ("rev_sha1", rsha), ("text", text),
+                             ("diag", diag), ("namespaces", nslist)):
+                    out[k].append(v)
+                if scanner is not None:
+                    hits = scanner(text.lower()) if text else []
+                    out["mentions"].append(
+                        [{"surface": s, "begin": b, "end": e} for s, b, e in hits]
+                    )
+            yield pd.DataFrame(out)
+
+    return extract_batches
 
 
 def extract_text(pages_df):
@@ -160,4 +180,69 @@ def extract_text(pages_df):
     immediately after (column pruning keeps it out of every later stage).
     """
     cols = ["url", "warc_ts", "html", "text", "lang"]
-    return pages_df.select(*cols).mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    return pages_df.select(*cols).mapInPandas(
+        _make_extract_kernel(), schema=EXTRACTED_SCHEMA
+    )
+
+
+def extract_and_detect(pages_df, aliases, force_automaton: bool = False):
+    """Fused scan: extraction + dictionary mention detection in ONE
+    mapInPandas pass -> EXTRACTED_WITH_MENTIONS_SCHEMA (the extracted
+    frame plus a ``mentions: array<struct<surface,begin,end>>`` column).
+
+    Semantics are identical to ``detect_mentions(extract_text(pages),
+    aliases)`` (same scan kernel); the fusion halves the Arrow bus
+    traffic of the heaviest column.  Downstream, mentions become rows via
+    ``explode`` — pure JVM, no second Python stage."""
+    from ..schemas import EXTRACTED_WITH_MENTIONS_SCHEMA
+    from .mentions import broadcast_alias_list, make_scanner
+
+    bc = broadcast_alias_list(aliases)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kern = _make_extract_kernel(make_scanner(bc.value, force_automaton))
+        yield from kern(batches)
+
+    return pages_df.select(*cols).mapInPandas(
+        run, schema=EXTRACTED_WITH_MENTIONS_SCHEMA
+    )
+
+
+def ns_catalog(extracted):
+    """A10: the namespace catalog — distinct namespace rows seen in the
+    scan (wkt1.pl:176-180)."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted.select(F.explode("namespaces").alias("n"))
+        .select("n.ns_id", "n.ns_case", "n.ns_name")
+        .distinct()
+    )
+
+
+def ns_usage(extracted):
+    """A10: per-namespace page counts joined to the catalog
+    (wkt1.pl:176-180, 291, 297-307 — %ns catalog + per-page increment).
+    One hash agg over the page stream + a broadcast join to the
+    dimension-sized catalog."""
+    from pyspark.sql import functions as F
+
+    use = (
+        extracted.filter(F.col("page_ns").isNotNull())
+        .groupBy(F.col("page_ns").alias("ns_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return use.join(F.broadcast(ns_catalog(extracted)), "ns_id", "left").select(
+        "ns_id", "n_pages", "ns_case", "ns_name"
+    )
+
+
+def exploded_mentions(fused):
+    """(url, surface, begin, end) rows from the fused frame's mentions
+    array — JVM-side explode, no Python."""
+    from pyspark.sql import functions as F
+
+    return fused.select("url", F.explode("mentions").alias("m")).select(
+        "url", "m.surface", "m.begin", "m.end"
+    )

@@ -33,14 +33,17 @@ def normalize_raw_json(raw: Column) -> Column:
     )
 
 
-def parse_entities(extracted: DataFrame, payload_col: str = "text") -> DataFrame:
+def parse_entities(
+    extracted: DataFrame, payload_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """extracted pages -> parsed entity records.
 
     The entity payload is the first line of the extracted page body (the
     reference reads one JSON record per input line, wdq1.pl:466-496).
     Output keeps ``raw`` (serialized record — needed for the raw-record
     mention scan, wdq1.pl:636-653) and a ``diag`` column for the
-    skip-and-log path (wdq1.pl:497-503).
+    skip-and-log path (wdq1.pl:497-503).  ``extra_cols`` pass through
+    untouched (e.g. the fused scan's ``mentions`` array).
     """
     raw = normalize_raw_json(F.substring_index(F.col(payload_col), "\n", 1))
     df = extracted.withColumn("raw", raw).withColumn(
@@ -54,6 +57,7 @@ def parse_entities(extracted: DataFrame, payload_col: str = "text") -> DataFrame
         "lang",
         "text",
         "raw",
+        *extra_cols,
         F.col("e.*"),
         F.regexp_extract("e.id", r"^[QL](\d+)$", 1).try_cast("long").alias("id_num"),
         F.when(F.col("raw").isNull(), F.coalesce("diag", F.lit("empty payload")))

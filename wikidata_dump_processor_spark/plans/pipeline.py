@@ -33,10 +33,42 @@ from pyspark.sql import functions as F
 from ..operators import triples as TR
 from ..operators.canonicalize import canonical_map, rewrite_triples
 from ..operators.linking import link_mentions, mention_triples
-from ..operators.mentions import detect_mentions
-from ..operators.text_extract import extract_text
+from ..operators.text_extract import extract_and_detect, exploded_mentions
 
 MANIFEST = "_pipeline_manifest.json"
+
+
+class IncompleteInputError(RuntimeError):
+    """St6: the input fails its completeness/size sanity gate — the
+    reference's 'in progress? skipping' / 'size mismatch' pre-flight
+    (wdq0.pl:163-181, 278-281)."""
+
+
+def preflight_input_gate(
+    spark: SparkSession,
+    path: str,
+    min_bytes: int | None = None,
+    max_bytes: int | None = None,
+) -> int:
+    """Size sanity gate BEFORE the first snapshot commit (St6,
+    wdq0.pl:163-181: fetched < expected -> still-in-progress, skip;
+    > expected -> hard error).  Uses the Hadoop FS API, so it works on
+    object storage, not just a local filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = int(fs.getContentSummary(p).getLength())
+    if min_bytes is not None and size < min_bytes:
+        raise IncompleteInputError(
+            f"input {path} is {size} B < expected minimum {min_bytes} B — "
+            "fetch still in progress? skipping run (wdq0.pl:163-177)"
+        )
+    if max_bytes is not None and size > max_bytes:
+        raise IncompleteInputError(
+            f"input {path} is {size} B > expected maximum {max_bytes} B "
+            "(wdq0.pl:278-281 size-vs-expected check)"
+        )
+    return size
 
 
 class StageManifest:
@@ -136,8 +168,14 @@ def run_pipeline(
     out_dir: str,
     catalog: DataFrame | None = None,
     fingerprint: str = "",
+    expected_pages: tuple | None = None,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
+
+    ``expected_pages=(min, max)``: St6 completeness gate — the page count
+    must fall in range BEFORE any stage commits (either bound may be
+    None).  For a path-backed input, prefer ``preflight_input_gate`` on
+    raw bytes (no Spark job at all).
 
     Stages (each a snapshot commit, resumable):
       1. extract    — byte-identical text + parsed entity columns
@@ -156,15 +194,26 @@ def run_pipeline(
         PDS.pm:136-150) served by min/max pruning on sorted parquet.
     """
     fp = fingerprint or "default"
+    if expected_pages is not None:
+        lo_n, hi_n = expected_pages
+        n_in = pages.count()
+        if (lo_n is not None and n_in < lo_n) or (hi_n is not None and n_in > hi_n):
+            raise IncompleteInputError(
+                f"pages input has {n_in} rows, outside expected [{lo_n}, {hi_n}]"
+            )
     man = StageManifest(out_dir)
     p = lambda name: os.path.join(out_dir, name)
 
-    # stage 1 — extract + parse. Materialized once: every downstream branch
-    # (triples, items, mentions) reuses the parquet, so the Python text
-    # extractor runs exactly once over the corpus.
+    # stage 1 — FUSED extract + mention scan + parse.  Materialized once:
+    # every downstream branch (triples, items, mentions) reuses the
+    # parquet, and the text column crosses the Arrow JVM<->Python bus
+    # exactly once — extraction and the dictionary scan run in the same
+    # mapInPandas pass; the mention stage below is a pure-JVM explode.
     parsed = _write_stage(
         spark, man, "extract", fp,
-        lambda: TR.parse_entities(extract_text(pages)),
+        lambda: TR.parse_entities(
+            extract_and_detect(pages, aliases), extra_cols=("mentions",)
+        ),
         p("extracted"),
     )
 
@@ -201,7 +250,7 @@ def run_pipeline(
         )
         f_linked = pool.submit(
             _write_stage, spark, man, "mentions", fp,
-            lambda: link_mentions(detect_mentions(parsed, aliases), aliases, catalog),
+            lambda: link_mentions(exploded_mentions(parsed), aliases, catalog),
             p("mentions"),
         )
         triples = f_triples.result()

@@ -866,6 +866,15 @@ def _q_kg15(spark, sf_dir):
     )
 
 
+@q("kg17_ns_usage", f"SELECT ns_id, n_pages, ns_case, ns_name FROM {_gp('ns_usage')}")
+def _q_kg17(spark, sf_dir):
+    from . import datagen
+    from .operators.text_extract import extract_text, ns_usage
+
+    pages = datagen.gen_pages(spark, datagen.sf_to_n_pages(sf_dir))
+    return ns_usage(extract_text(pages))
+
+
 @q("kg16_doi_report", f"SELECT prefix, verdict, cnt FROM {_gp('doi_report')}")
 def _q_kg16(spark, sf_dir):
     from .functions.validators import doi_report

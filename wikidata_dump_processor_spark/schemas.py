@@ -37,6 +37,21 @@ EXTRACTED_SCHEMA = T.StructType(
         # diag side-channel (wdq1.pl:137-138, 497-503): why a page yielded
         # no text / no entity; null = clean.
         T.StructField("diag", T.StringType(), True),
+        # namespace catalog rows seen before <page> (wkt1.pl:176-180);
+        # aggregated by ns_usage (A10) into the per-ns use_count table.
+        T.StructField(
+            "namespaces",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("ns_id", T.StringType(), True),
+                        T.StructField("ns_case", T.StringType(), True),
+                        T.StructField("ns_name", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 
@@ -158,5 +173,27 @@ MENTIONS_SCHEMA = T.StructType(
         T.StructField("surface", T.StringType(), False),
         T.StructField("begin", T.IntegerType(), False),
         T.StructField("end", T.IntegerType(), False),
+    ]
+)
+
+# Fused extract+mention-scan output (operators/text_extract.py
+# ``extract_and_detect``): the extracted page frame plus per-page mention
+# hits, produced in ONE Arrow pass over the text column.
+EXTRACTED_WITH_MENTIONS_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields
+    + [
+        T.StructField(
+            "mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("surface", T.StringType(), False),
+                        T.StructField("begin", T.IntegerType(), False),
+                        T.StructField("end", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        )
     ]
 )

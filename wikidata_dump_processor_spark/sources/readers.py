@@ -59,6 +59,49 @@ def point_lookup(table: DataFrame, ids: list, id_col: str = "id") -> DataFrame:
     return table.join(F.broadcast(ids_df), id_col, "left_semi")
 
 
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K3 JSON sink, distributed form: one JSON object per line (the
+    shape every downstream engine reads back).  The reference's
+    authctrl.json is a streamed array of the same objects
+    (wdq1.pl:759-768) — see ``write_json_array`` for byte-shape parity."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_json_array(df: DataFrame, path: str) -> None:
+    """K3: the reference's streamed-JSON-array export format
+    (wdq1.pl:441-445, 759-768, 789-791): '[', comma-separated records,
+    ']'.  Streams through ``toLocalIterator`` — one partition in flight,
+    never the whole table on the driver; an export-format shim for
+    catalog-sized outputs, not a data-plane sink."""
+    import json as _json
+
+    with open(path, "w") as f:
+        f.write("[\n")
+        first = True
+        for row in df.toLocalIterator():
+            if not first:
+                f.write(",\n")
+            first = False
+            f.write(_json.dumps(row.asDict(recursive=True), default=str))
+        f.write("\n]\n")
+
+
+def write_props_json(props: DataFrame, path: str, key_col: str = "prop") -> None:
+    """K3: props.json single-object export (wdq1.pl:822-828):
+    {prop_id: {catalog row}}.  The predicate catalog is dimension-sized
+    (one row per property ever seen), so a driver-side dict is the right
+    physical shape."""
+    import json as _json
+
+    obj = {}
+    for row in props.toLocalIterator():
+        d = row.asDict(recursive=True)
+        obj[d.pop(key_col)] = d
+    with open(path, "w") as f:
+        _json.dump(obj, f, sort_keys=True, default=str)
+
+
 def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """K2 TSV sink (Filter.pm:39-74 / wdq1.pl:165-175): header + tab rows.
     Array columns are comma-joined at export only (wdq1.pl:750-751)."""
