@@ -4,6 +4,7 @@ plus unit checks of the value-transform rules (Filter.pm:76-108)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from wikidata_dump_processor_spark import datagen
 from wikidata_dump_processor_spark.operators import triples as TR
@@ -139,3 +140,29 @@ def test_no_label_lang_is_last_tried(spark):
     )
     r = TR.with_preferred_label(TR.item_entities(TR.parse_entities(df))).select("label", "label_lang").first()
     assert r.label is None and r.label_lang == "mul"  # last lang in list
+
+
+def test_property_filter_export(spark, tmp_path):
+    """wdq2.pl --filter P### export path: TSV frame + ndjson raws written
+    and readable back."""
+    from wikidata_dump_processor_spark import datagen
+    from wikidata_dump_processor_spark.operators.text_extract import extract_text
+    from wikidata_dump_processor_spark.operators.triples import (
+        item_entities,
+        parse_entities,
+        property_filter_export,
+    )
+
+    items = item_entities(parse_entities(extract_text(datagen.gen_pages(spark, 200))))
+    out = str(tmp_path / "exp")
+    tsv_df, nd_df = property_filter_export(items, "P31", out_dir=out)
+    n = tsv_df.count()
+    assert n > 0 and nd_df.count() == n
+    # multi-snak entities join all statement values in order (i%13==4
+    # pages have a second Q999 snak)
+    multi = tsv_df.filter(F.col("values").contains(" ")).collect()
+    assert multi and all(v.values.split(" ")[1] == "Q999" for v in multi)
+    back = spark.read.option("sep", "\t").option("header", True).csv(f"{out}/P31.tsv")
+    assert back.count() == n
+    raws = spark.read.text(f"{out}/P31.ndjson")
+    assert raws.count() == n

@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r2-3"
+VERSION = "r2-4"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -567,6 +567,35 @@ def _t_wikitext(c: _Corpus):
     )
 
 
+def _t_filter_export(c: _Corpus, pred: str = "P31",
+                     show_langs: tuple = ("en", "de", "fr", "it")):
+    """wdq2.pl --filter export: id, per-lang labels, lastrevid, all snak
+    values space-joined in statement order (wdq2.pl:479, 42)."""
+    tr = 1 if FILTER_BANK.get(pred, ("", 0))[1] == 1 else 0
+    rows = []
+    for i, url, text, j in c.items():
+        snaks = _safe_get(j, "claims", pred)
+        if not isinstance(snaks, list):
+            continue
+        vals = []
+        for snak in snaks:
+            ms = snak.get("mainsnak") if isinstance(snak, dict) else None
+            st = ms.get("snaktype") if isinstance(ms, dict) else None
+            if st == "value":
+                vals.append(_extract(_safe_get(ms, "datavalue", "value"), tr))
+            else:
+                vals.append(st)
+        row = {"id": j["id"], "lastrevid": j.get("lastrevid"),
+               "values": " ".join("" if v is None else v for v in vals)}
+        for lg in show_langs:
+            row[lg] = _safe_get(j.get("labels") or {}, lg, "value")
+        rows.append(row)
+    fields = [("id", pa.string())] + [(lg, pa.string()) for lg in show_langs] + [
+        ("lastrevid", pa.int64()), ("values", pa.string())
+    ]
+    return rows, pa.schema(fields)
+
+
 def _t_ns_usage(c: _Corpus):
     """wkt1.pl:176-180, 297-307: namespace catalog + per-page ns counts,
     re-derived with flat regexes over the page XML (independent of the
@@ -639,6 +668,7 @@ def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
         "inverted_index": _t_inverted_index(triples_rows, props_rows),
         "wikitext": _t_wikitext(c),
         "ns_usage": _t_ns_usage(c),
+        "filter_export_P31": _t_filter_export(c, "P31"),
     }
     for name, (rows, schema) in tables.items():
         _write(os.path.join(out, f"{name}.parquet"), rows, schema)

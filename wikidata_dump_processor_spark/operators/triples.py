@@ -212,6 +212,55 @@ def all_snak_values(items: DataFrame, pred: str) -> DataFrame:
     )
 
 
+def property_filter_export(
+    items: DataFrame,
+    pred: str,
+    out_dir: str | None = None,
+    show_langs: tuple = ("en", "de", "fr", "it"),
+    mv_sep: str = " ",
+):
+    """wdq2.pl --filter P### export (wdq2.pl:143-151, 457-481, 178-182,
+    436): entities claiming the property, exported as
+
+    * a TSV-shaped frame: id, one label column per ``show_langs``
+      (wdq2.pl:38,479), lastrevid, ``values`` = all snak values joined by
+      ``mv_sep`` (wdq2.pl:42) in statement order, and
+    * the raw serialized records (the reference's ndjson side,
+      wdq2.pl:436).
+
+    The id-driven fetch is J5's filter-driven join: the value rows are the
+    driving side, the label projection rides the same row — no separate
+    fetch.  Returns (tsv_df, ndjson_df); writes both when ``out_dir``.
+    """
+    v = all_snak_values(items, pred)
+    vals = v.groupBy("subj").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("snak_pos", "obj"))),
+                lambda s: s.getField("obj"),
+            ),
+            mv_sep,
+        ).alias("values")
+    )
+    lab_cols = [
+        F.element_at("labels", lang).getField("value").alias(lang)
+        for lang in show_langs
+    ]
+    tsv_df = (
+        items.select("id", "raw", "lastrevid", *lab_cols)
+        .join(vals, F.col("id") == F.col("subj"))
+        .select("id", *show_langs, "lastrevid", "values", "raw")
+    )
+    ndjson_df = tsv_df.select("raw")
+    tsv_df = tsv_df.drop("raw")
+    if out_dir is not None:
+        from ..sources.readers import write_tsv
+
+        write_tsv(tsv_df, f"{out_dir}/{pred}.tsv")
+        ndjson_df.write.mode("overwrite").text(f"{out_dir}/{pred}.ndjson")
+    return tsv_df, ndjson_df
+
+
 # ---------------------------------------------------------------------------
 # language-preference label (P8, wdq1.pl:565-588)
 # ---------------------------------------------------------------------------

@@ -875,6 +875,19 @@ def _q_kg17(spark, sf_dir):
     return ns_usage(extract_text(pages))
 
 
+@q(
+    "kg18_filter_export_P31",
+    f'SELECT id, en, de, fr, it, lastrevid, "values" FROM {_gp("filter_export_P31")}',
+)
+def _q_kg18(spark, sf_dir):
+    from .operators.triples import item_entities, property_filter_export
+
+    tsv_df, _nd = property_filter_export(
+        item_entities(_kg_parsed(spark, sf_dir)), "P31"
+    )
+    return tsv_df
+
+
 @q("kg16_doi_report", f"SELECT prefix, verdict, cnt FROM {_gp('doi_report')}")
 def _q_kg16(spark, sf_dir):
     from .functions.validators import doi_report
