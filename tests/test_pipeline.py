@@ -132,3 +132,24 @@ def test_preflight_gates(spark, tmp_path):
             expected_pages=(1000, None),
         )
     assert not os.path.exists(os.path.join(out2, "extracted"))
+
+
+def test_graceful_stop_and_resume(spark, tmp_path):
+    """St7: a stop request drains the committed stages, raises
+    GracefulStop with a consistent manifest, and a re-run resumes."""
+    from wikidata_dump_processor_spark.plans.pipeline import GracefulStop
+
+    pages = datagen.gen_pages(spark, 60).localCheckpoint(eager=True)
+    out = str(tmp_path / "pipe")
+    stop = str(tmp_path / "STOP")
+    open(stop, "w").close()
+    with pytest.raises(GracefulStop) as ei:
+        run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
+                     fingerprint="g1", stop_file=stop)
+    assert "extract" in ei.value.completed  # stage 1 committed before stop
+    man = json.load(open(os.path.join(out, MANIFEST)))
+    assert "extract" in man and "canonical" not in man
+    os.remove(stop)
+    res = run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
+                       fingerprint="g1")
+    assert res["canonical_triples"].count() > 0

@@ -130,6 +130,30 @@ def write_inverted_index(
     df.write.mode("overwrite").partitionBy("pred").parquet(path)
 
 
+def bitmap_index(triples: DataFrame) -> DataFrame:
+    """A9 (cntprops.pl:125-132): the reference converts a mega-property's
+    subject list to a ``Bitfield`` bitmap.  Spark-native equivalent: the
+    built-in bitmap aggregates — subjects' numeric ids grouped into
+    fixed-width buckets, one compact bitmap per (pred, bucket).  Pure JVM
+    hash aggregation; a 10^8-subject predicate becomes ~3k bucket rows of
+    4 KB bitmaps instead of one 10^8-element array.
+
+    Output: (pred, bucket, bitmap: binary, n_bits)."""
+    ids = (
+        triples.select(
+            "pred",
+            F.regexp_extract("subj", r"^[QL](\d+)$", 1).try_cast("long").alias("id_num"),
+        )
+        .filter(F.col("id_num").isNotNull())
+        .distinct()
+    )
+    return (
+        ids.groupBy("pred", F.bitmap_bucket_number("id_num").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("id_num")).alias("bitmap"))
+        .withColumn("n_bits", F.bitmap_count("bitmap"))
+    )
+
+
 def inverted_index(
     triples: DataFrame,
     props: DataFrame,

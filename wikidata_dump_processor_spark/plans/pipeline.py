@@ -38,6 +38,17 @@ from ..operators.text_extract import extract_and_detect, exploded_mentions
 MANIFEST = "_pipeline_manifest.json"
 
 
+class GracefulStop(RuntimeError):
+    """St7: a stop was requested; the stage that was running has COMMITTED
+    (atomic snapshot) and the manifest is consistent — a later run resumes
+    from here (wdq1.pl:142-143, 468: SIGINT drains the loop, stats still
+    written)."""
+
+    def __init__(self, completed: list[str]):
+        super().__init__(f"graceful stop after stages {completed}")
+        self.completed = completed
+
+
 class IncompleteInputError(RuntimeError):
     """St6: the input fails its completeness/size sanity gate — the
     reference's 'in progress? skipping' / 'size mismatch' pre-flight
@@ -169,6 +180,7 @@ def run_pipeline(
     catalog: DataFrame | None = None,
     fingerprint: str = "",
     expected_pages: tuple | None = None,
+    stop_file: str | None = None,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -176,6 +188,11 @@ def run_pipeline(
     must fall in range BEFORE any stage commits (either bound may be
     None).  For a path-backed input, prefer ``preflight_input_gate`` on
     raw bytes (no Spark job at all).
+
+    ``stop_file``: St7 graceful stop — when the file appears, the run
+    drains the stage group in flight (its snapshots COMMIT atomically)
+    and raises ``GracefulStop``; a re-run with the same fingerprint
+    resumes from the manifest (wdq1.pl:142-143, 468 SIGINT model).
 
     Stages (each a snapshot commit, resumable):
       1. extract    — byte-identical text + parsed entity columns
@@ -204,6 +221,10 @@ def run_pipeline(
     man = StageManifest(out_dir)
     p = lambda name: os.path.join(out_dir, name)
 
+    def _stop_check():
+        if stop_file and os.path.exists(stop_file):
+            raise GracefulStop(sorted(man.stages))
+
     # stage 1 — FUSED extract + mention scan + parse.  Materialized once:
     # every downstream branch (triples, items, mentions) reuses the
     # parquet, and the text column crosses the Arrow JVM<->Python bus
@@ -216,6 +237,8 @@ def run_pipeline(
         ),
         p("extracted"),
     )
+
+    _stop_check()
 
     # Stages 2-5 all depend only on `parsed`: submit them from concurrent
     # driver threads (idiomatic Spark — the scheduler interleaves their
@@ -258,6 +281,7 @@ def run_pipeline(
         props = f_props.result()
         linked = f_linked.result()
 
+    _stop_check()
     cmap_holder: dict = {}
 
     def _canonical():
@@ -279,6 +303,8 @@ def run_pipeline(
         lambda: _canonical().repartition(F.col("pred")),
         p("canonical_triples"), partition_by=["pred"], sort_within=["subj"],
     )
+
+    _stop_check()
 
     def _nodes():
         cmap = cmap_holder.get("cmap")

@@ -25,6 +25,7 @@ def incremental_pages_stream(
     checkpoint_dir: str,
     output_dir: str,
     transform=None,
+    max_file_age: str | None = None,
 ):
     """Watch ``input_dir`` for new pages parquet files; apply ``transform``
     (default: triple extraction) to NEW files only; append to
@@ -33,15 +34,18 @@ def incremental_pages_stream(
     Trigger.AvailableNow = the reference's --once mode (wdq0.pl:96-100);
     calling this repeatedly = the polling watch loop (St1), with the
     checkpoint as the change-detection ledger (St3/St4).
+
+    ``max_file_age`` (e.g. ``"4h"``) is the St2 freshness gate
+    (wdq_fetcher.pl:35, 80-85: only inputs newer than the window are
+    considered) — mapped to the file source's ``maxFileAge`` option.
     """
     from ..operators.text_extract import extract_text
     from ..operators.triples import extract_triples, parse_entities
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
-    )
+    reader = spark.readStream.schema(PAGES_SCHEMA).option("maxFilesPerTrigger", 64)
+    if max_file_age is not None:
+        reader = reader.option("maxFileAge", max_file_age)
+    stream = reader.parquet(input_dir)
     out = (transform or (lambda df: extract_triples(parse_entities(extract_text(df)))))(
         stream
     )
