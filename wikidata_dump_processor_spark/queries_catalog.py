@@ -603,6 +603,52 @@ def _q_t2(spark, sf_dir):
     return detect_language(d).select("doc_id", "lang_detected")
 
 
+def _t3_sql():
+    from .operators.textstats import LANG_PROFILES
+
+    stops = ", ".join(
+        f"'{w}'" for prof in LANG_PROFILES.values() for w in prof
+    )
+    return f"""
+    SELECT doc_id, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN (n_chars - n_tokens + 1) / n_tokens ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN upper_c / n_chars ELSE 0.0 END AS upper_ratio,
+           CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0.0 END AS stopword_ratio
+    FROM (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+             ELSE length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                  - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+                  + 1 END AS n_tokens,
+        length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+        length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_c,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x IN ({stops}))) AS stop
+      FROM documents
+    )
+    """
+
+
+@q("t3_quality_features", _t3_sql())
+def _q_t3(spark, sf_dir):
+    from .operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(d)
+    return f.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len", "punct_ratio", "upper_ratio", "digit_ratio",
+        "stopword_ratio",
+    )
+
+
 @q(
     "d3_wordset_jaccard_pairs",
     """
