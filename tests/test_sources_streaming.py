@@ -1,5 +1,6 @@
 """Source/sink operators, incremental streaming, validators."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -147,3 +148,61 @@ def test_ns_usage_catalog(spark):
     r = rows[0]
     assert r.ns_id == "0" and r.n_pages == 100
     assert r.ns_name == "Main" and r.ns_case == "first-letter"
+
+
+def test_dump_discovery_and_fetch(tmp_path):
+    """S5 (wdq0.pl:234-293): index scrape, size sanity gates, skip-if-
+    exists idempotence, size-vs-advertised verification."""
+    from wikidata_dump_processor_spark.plans.pipeline import IncompleteInputError
+    from wikidata_dump_processor_spark.sources.discovery import (
+        discover_dumps,
+        fetch_dumps,
+        parse_dump_index,
+        plan_fetch,
+    )
+
+    html = """
+    <a href="20201019.json.gz">20201019.json.gz</a>  19-Oct-2020 09:12  89827998242
+    <a href="20201020.json.gz">20201020.json.gz</a>  20-Oct-2020 09:12  63
+    <a href="20201021.json.gz">20201021.json.gz</a>  21-Oct-2020 09:12  500000000
+    <a href="20201022.json.gz">20201022.json.gz</a>  22-Oct-2020 09:12  120000000000
+    """
+    assert len(parse_dump_index(html)) == 4
+    gated = discover_dumps(html)
+    # dummy (63 B) and the 89.8 GB sub-full-size dump are filtered out
+    assert [r["dump_file"] for r in gated] == ["20201021.json.gz", "20201022.json.gz"]
+    assert gated[0]["date"] == "2020-10-21"
+
+    dumps = str(tmp_path / "dumps")
+    small = """<a href="20201021.json.gz">20201021.json.gz</a> x y 10"""
+    fetched_urls = []
+
+    def fake_fetch(url, dest):
+        fetched_urls.append(url)
+        with open(dest, "wb") as f:
+            f.write(b"x" * 10)
+
+    # lexeme-range gate needs a plausible size; craft one in range
+    small = small.replace(" 10", f" {400_000_000}")
+
+    def fake_fetch_full(url, dest):
+        fetched_urls.append(url)
+        with open(dest, "wb") as f:
+            f.seek(400_000_000 - 1)
+            f.write(b"\0")
+
+    plans = fetch_dumps(small, dumps, "https://dumps.example/", fake_fetch_full)
+    assert plans[0]["verified_size"] == 400_000_000 and len(fetched_urls) == 1
+    # idempotence: second run skips the existing file
+    plans2 = fetch_dumps(small, dumps, "https://dumps.example/", fake_fetch_full)
+    assert plans2[0]["action"] == "skip" and len(fetched_urls) == 1
+
+    # short fetch -> in-progress error
+    short = small.replace("20201021", "20201023")
+
+    def truncated(url, dest):
+        with open(dest, "wb") as f:
+            f.write(b"partial")
+
+    with pytest.raises(IncompleteInputError, match="in progress"):
+        fetch_dumps(short, dumps, "https://dumps.example/", truncated)

@@ -159,3 +159,28 @@ def test_multimodal_decoder_feature_gate(monkeypatch):
         assert M._pick_decoder() is M._decode_image_pil
     except ImportError:  # this container: no PIL -> stub fallback
         assert M._pick_decoder() is M._decode_image_stub
+
+
+def test_ivf_topk_recall_and_partition(spark, embeddings):
+    """IVF probes n_probe of n_cells; recall vs brute force well above
+    the coverage floor, perfect when probing every cell."""
+    queries = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in S.brute_force_topk(embeddings, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # full probe == exhaustive search -> identical neighbor sets
+    full = {}
+    for r in S.ivf_topk(embeddings, queries, k=5, n_cells=8, n_probe=8).collect():
+        full.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full == exact
+    # partial probe: recall above the random-coverage floor (2/8 cells)
+    approx = {}
+    for r in S.ivf_topk(embeddings, queries, k=5, n_cells=8, n_probe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # assignment is a partition of the corpus
+    cents = S.ivf_centroids(embeddings, n_cells=8)
+    assert len(cents) == 8 and all(len(v) == 64 for _, v in cents)

@@ -159,6 +159,132 @@ def lsh_topk(
     )
 
 
+def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k without a window sort: aggregate -> array_sort ->
+    slice (shared by the brute-force / LSH / IVF paths)."""
+    pair = F.struct(
+        (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine")
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+        .select(
+            "query_id",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("t.nid").alias("neighbor_id"),
+            F.col("t.cosine").alias("cosine"),
+        )
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    lloyd_steps: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: seeds are the ``n_cells``
+    vectors with the smallest ids, refined by ``lloyd_steps`` Lloyd
+    iterations computed as DataFrame aggregations (posexplode ->
+    per-(cell, coord) mean).  Centroids are dimension data: n_cells x dim
+    floats live on the driver / in a broadcast, never at scale."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = [
+        (i, list(r.v)) for i, r in enumerate(v.orderBy("id").limit(n_cells).collect())
+    ]
+    spark = vectors.sparkSession
+    cents = seeds
+    for _ in range(lloyd_steps):
+        cdf = spark.createDataFrame(
+            [(c, vec) for c, vec in cents], "cell int, centroid array<double>"
+        )
+        assigned = _assign_cells(v, cdf)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        cents = [
+            (c, [coords[p] for p in sorted(coords)]) if (coords := by_cell.get(c)) else (c, vec)
+            for c, vec in cents
+        ]
+    return cents
+
+
+def _assign_cells(v: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment: broadcast the tiny cell
+    table, max_by per vector — one pass, no shuffle of the vector side
+    beyond the final per-id aggregation."""
+    scored = v.join(F.broadcast(cells)).withColumn(
+        "sim",
+        _dot(F.col("v"), F.col("centroid"))
+        / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max_by("cell", F.struct("sim", (-F.col("cell")).alias("tb"))).alias("cell"),
+             F.first("v").alias("v"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_steps: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into
+    ``n_cells`` centroid cells; each query probes its ``n_probe`` nearest
+    cells and re-ranks exactly inside them.  At 10^9+ vectors this scans
+    ~n_probe/n_cells of the corpus per query — the classic
+    inverted-file trade — and the cell assignment is a broadcast join
+    (centroids are tiny), so the vector side is never shuffled except to
+    group candidates per query."""
+    spark = vectors.sparkSession
+    cents = ivf_centroids(vectors, n_cells, lloyd_steps, id_col, vec_col)
+    cdf = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    v_cells = _assign_cells(v, cdf).select(
+        F.col("id").alias("neighbor_id"), "v", "cell"
+    )
+    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("q"))
+    q_scored = q.join(F.broadcast(cdf)).withColumn(
+        "sim",
+        _dot(F.col("q"), F.col("centroid"))
+        / (_norm(F.col("q")) * _norm(F.col("centroid"))),
+    )
+    probe_pair = F.struct((-F.col("sim")).alias("neg"), F.col("cell"))
+    q_probes = (
+        q_scored.groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(probe_pair)), 1, n_probe).alias("cells"),
+            F.first("q").alias("q"),
+        )
+        .select("query_id", "q", F.explode("cells.cell").alias("cell"))
+    )
+    cand = q_probes.join(v_cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cosine"),
+    )
+    return _topk_from_scored(scored, k)
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -857,6 +857,37 @@ def _q_kg10(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8)
 
 
+@q(
+    "kg19_ivf_topk",
+    # full probe (n_probe == n_cells) is exhaustive search: the IVF
+    # plumbing (centroid assignment partition + probe + exact re-rank)
+    # must reproduce the brute-force oracle EXACTLY
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def _q_kg19(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 @q("kg11_image_features")
 def _q_kg11(spark, sf_dir):
     from .operators.multimodal import gen_media, image_features
