@@ -166,3 +166,29 @@ def test_property_filter_export(spark, tmp_path):
     assert back.count() == n
     raws = spark.read.text(f"{out}/P31.ndjson")
     assert raws.count() == n
+
+
+def test_xxh64_matches_spark(spark):
+    """The oracle-side pure-Python XXH64 must equal Spark's xxhash64
+    bit-for-bit, including multi-arg seed chaining — it underwrites the
+    kg8/kg9 golden oracles."""
+    import random
+
+    from wikidata_dump_processor_spark.xxh64 import spark_xxhash64
+
+    rng = random.Random(7)
+    vals = [""] + [
+        "".join(rng.choice("abc XYZ09_é") for _ in range(rng.randrange(0, 120)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(v, i % 64) for i, v in enumerate(vals)], "s string, seed int")
+    rows = df.select(
+        "s", "seed",
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64("s", "seed").alias("h2"),
+        F.xxhash64("s", F.col("seed").cast("long")).alias("h3"),
+    ).collect()
+    for r in rows:
+        assert spark_xxhash64(r.s) == r.h1
+        assert spark_xxhash64(r.s, ("int", r.seed)) == r.h2
+        assert spark_xxhash64(r.s, ("long", r.seed)) == r.h3

@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r2-4"
+VERSION = "r2-6"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -567,6 +567,204 @@ def _t_wikitext(c: _Corpus):
     )
 
 
+# ---------------------------------------------------------------------------
+# hash-seeded dedup/LSH oracles over the driver test tables (sf0.01):
+# possible because xxh64.py reproduces Spark's xxhash64 bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.01"
+_WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+
+def _read_docs():
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return _WS.sub(" ", text.lower()).strip(" ").split(" ")
+
+
+def _doc_shingles(text: str, k: int = 3) -> list[str]:
+    toks = _norm_tokens(text)
+    n = len(toks)
+    out = {" ".join(toks[i : i + k]) for i in range(0, max(n - k, 0) + 1)}
+    return [s for s in out if s]
+
+
+def _t_minhash_pairs(num_hashes=64, bands=16, threshold=0.5, max_bucket=200):
+    """dedup.minhash_lsh_pairs re-derived (kg8 defaults)."""
+    from .xxh64 import spark_xxhash64, to_signed, xxh64_int
+
+    r = num_hashes // bands
+    sigs: dict[int, list[int]] = {}
+    for doc_id, text in _read_docs():
+        sh = _doc_shingles(text)
+        if not sh:
+            continue
+        hashes = [spark_xxhash64(s) for s in sh]  # base hash per shingle
+        # per-seed min: chained hash equals xxh64_int(seed, xxh64(shingle))
+        sigs[doc_id] = [
+            min(to_signed(xxh64_int(seed, h & ((1 << 64) - 1))) for h in hashes)
+            for seed in range(num_hashes)
+        ]
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = "_".join(str(x) for x in sig[b * r : (b + 1) * r])
+            buckets.setdefault((b, spark_xxhash64(key)), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+        if est >= threshold:
+            rows.append({"id_a": a, "id_b": b, "est_jaccard": est})
+    return rows, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+
+
+def _t_simhash_pairs(max_hamming=8, bands=4, max_bucket=500):
+    """dedup.simhash_near_pairs re-derived (kg9 defaults)."""
+    from .xxh64 import spark_xxhash64
+
+    width = 64 // bands
+    hashes: dict[int, int] = {}
+    for doc_id, text in _read_docs():
+        toks = [t for t in _norm_tokens(text) if t]
+        if not toks:
+            continue
+        votes = [0] * 64
+        for t in toks:  # every occurrence votes (no distinct)
+            th = spark_xxhash64(t)
+            for b in range(64):
+                votes[b] += 1 if (th >> b) & 1 else -1
+        h = 0
+        for b in range(63):
+            if votes[b] > 0:
+                h += 1 << b
+        if votes[63] > 0:
+            h += -(1 << 63)
+        hashes[doc_id] = h
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, h in hashes.items():
+        u = h & ((1 << 64) - 1)
+        for i in range(bands):
+            key = (u >> (i * width)) & ((1 << width) - 1)
+            buckets.setdefault((i, key), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            rows.append({"id_a": a, "id_b": b, "hamming": ham})
+    return rows, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+
+def _t_lsh_topk(k=5, dim=64, n_bits=4, n_tables=8, n_queries=10):
+    """similarity.lsh_topk re-derived (kg10 params).  Dot products and
+    cosines are left-to-right double folds — bit-identical to the JVM's
+    sequential aggregate."""
+    import math
+
+    from .operators.similarity import _hyperplane
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    norms = {vid: math.sqrt(dot(v, v)) for vid, v in vecs.items()}
+    queries = {vid: v for vid, v in vecs.items() if vid < n_queries}
+    cand: dict[int, set] = {q: set() for q in queries}
+    for tbl in range(n_tables):
+        planes = [_hyperplane(dim, b, tbl) for b in range(n_bits)]
+
+        def sig(v):
+            s = 0
+            for i, p in enumerate(planes):
+                if dot(v, p) >= 0:
+                    s += 1 << i
+            return s
+
+        buckets: dict[int, list[int]] = {}
+        for vid, v in vecs.items():
+            buckets.setdefault(sig(v), []).append(vid)
+        for q, qv in queries.items():
+            for vid in buckets.get(sig(qv), []):
+                if vid != q:
+                    cand[q].add(vid)
+    rows = []
+    for q, nbrs in cand.items():
+        scored = [
+            (dot(queries[q], vecs[v]) / (norms[q] * norms[v]), v) for v in nbrs
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, v) in enumerate(scored[:k], start=1):
+            rows.append({"query_id": q, "neighbor_id": v, "rank": rank})
+    return rows, pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+    )
+
+
+def _t_image_features(n: int = 200):
+    """multimodal.py plumbing oracle: the synthetic media table and the
+    deterministic stub decode re-derived as a naive loop (the stub's
+    blake2b formula IS the spec; what this checks end-to-end is the
+    Arrow batching, image-kind filtering, null handling, and the row-
+    level error channel)."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:  # kind != image
+            continue
+        payload = None if i % 17 == 9 else (f"media-{i}-".encode() * (1 + i % 7))
+        b = payload or b""
+        row = {"media_id": i, "n_bytes": len(b)}
+        if not b:
+            row.update(width=None, height=None, phash=None,
+                       decode_error="empty payload (real decoder would raise too)")
+        else:
+            h = hashlib.blake2b(b, digest_size=16).digest()
+            row.update(
+                width=64 + h[0] % 192,
+                height=64 + h[1] % 192,
+                phash=int.from_bytes(h[2:10], "big", signed=True),
+                decode_error=None,
+            )
+        rows.append(row)
+    return rows, pa.schema(
+        [
+            ("media_id", pa.int64()), ("width", pa.int64()), ("height", pa.int64()),
+            ("n_bytes", pa.int64()), ("phash", pa.int64()), ("decode_error", pa.string()),
+        ]
+    )
+
+
 def _t_filter_export(c: _Corpus, pred: str = "P31",
                      show_langs: tuple = ("en", "de", "fr", "it")):
     """wdq2.pl --filter export: id, per-lang labels, lastrevid, all snak
@@ -669,6 +867,10 @@ def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
         "wikitext": _t_wikitext(c),
         "ns_usage": _t_ns_usage(c),
         "filter_export_P31": _t_filter_export(c, "P31"),
+        "image_features": _t_image_features(200),
+        "minhash_pairs": _t_minhash_pairs(),
+        "simhash_pairs": _t_simhash_pairs(),
+        "lsh_topk": _t_lsh_topk(),
     }
     for name, (rows, schema) in tables.items():
         _write(os.path.join(out, f"{name}.parquet"), rows, schema)

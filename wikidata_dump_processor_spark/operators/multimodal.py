@@ -102,13 +102,21 @@ def _pick_decoder():
     return _decode_image_stub
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, decoder: str | None = None) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched mapInPandas, one
     output row per input row, errors captured per row (never fail the
-    task — the 100 TB rule: one corrupt jpeg must not kill a partition)."""
+    task — the 100 TB rule: one corrupt jpeg must not kill a partition).
+
+    ``decoder``: None = auto (PIL when importable, else stub); "stub" /
+    "pil" pin a kernel (the oracle-checked driver query pins "stub" so
+    the expected output is environment-independent)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _pick_decoder()
+        decode = {
+            "stub": _decode_image_stub,
+            "pil": _decode_image_pil,
+            None: _pick_decoder(),
+        }[decoder]
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "phash", "decode_error")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):

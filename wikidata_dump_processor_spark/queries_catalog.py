@@ -832,21 +832,26 @@ def _q_kg7(spark, sf_dir):
     return df.withColumn("snak_pos", F.col("snak_pos").cast("long"))
 
 
-@q("kg8_minhash_near_dups")
+# kg8/kg9/kg10 oracles: golden.py re-derives the minhash/simhash/LSH
+# pipelines in pure Python on top of xxh64.py (a bit-exact reimplementation
+# of Spark's xxhash64) — so even the hash-seeded operators get full
+# row/schema/value-hash driver checks.
+@q("kg8_minhash_near_dups", f"SELECT id_a, id_b, est_jaccard FROM {_gp('minhash_pairs')}")
 def _q_kg8(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@q("kg9_simhash_near_dups")
+@q("kg9_simhash_near_dups", f"SELECT id_a, id_b, hamming FROM {_gp('simhash_pairs')}")
 def _q_kg9(spark, sf_dir):
     from .operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    df = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return df.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-@q("kg10_lsh_topk")
+@q("kg10_lsh_topk", f"SELECT query_id, neighbor_id, rank FROM {_gp('lsh_topk')}")
 def _q_kg10(spark, sf_dir):
     from .operators.similarity import lsh_topk
 
@@ -854,7 +859,9 @@ def _q_kg10(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8)
+    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 @q(
@@ -888,11 +895,23 @@ def _q_kg19(spark, sf_dir):
     )
 
 
-@q("kg11_image_features")
+@q(
+    "kg11_image_features",
+    f"SELECT media_id, width, height, n_bytes, phash, decode_error FROM {_gp('image_features')}",
+)
 def _q_kg11(spark, sf_dir):
     from .operators.multimodal import gen_media, image_features
 
-    return image_features(gen_media(spark, 200))
+    # decoder pinned to the deterministic stub: the oracle checks the
+    # Arrow plumbing (batching, kind filter, nulls, per-row error
+    # channel), not a codec — environment-independent by construction
+    df = image_features(gen_media(spark, 200), decoder="stub")
+    return df.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes", "phash", "decode_error",
+    )
 
 
 @q("kg12_person_table", f"SELECT * FROM {_gp('person')}")
