@@ -249,17 +249,19 @@ def run_pipeline(
     # (and exercises a Spark 4.1 local-mode runner race) for zero overlap
     # benefit, so the pool degrades to sequential.
     slots = spark.sparkContext.defaultParallelism
+    # Writer-salt width scales with DATA VOLUME (from the extract stage's
+    # manifest row count — free, works on resume), capped by task slots:
+    # ~25k pages per salt.  Volume-scaled, not slots-scaled: at small
+    # volume a wide salt only fragments files and adds shuffle overhead
+    # (measured +35% pipeline wall at 100k pages on 32 cores), while at
+    # big volume it is what keeps a mega-predicate from serializing
+    # through one writer (measured: plain repartition('pred') capped the
+    # triple/canonical writes at 1.4x from 2->8 cores on 800k pages).
+    n_rows = int(man.stages.get("extract", {}).get("metrics", {}).get("rows", 0))
+    n_salts = max(1, min(slots, n_rows // 25_000))
 
     def by_pred_salted(df):
-        # Partitioned-write routing: repartition on (pred, hash(subj)%k)
-        # so every predicate's rows land in a BOUNDED number of writer
-        # tasks — k files per pred, not tasks x preds small files, and a
-        # mega-predicate (Pmention/P31 here; any head predicate at 100 TB)
-        # is written by k parallel tasks instead of serializing through
-        # one.  (Measured: plain repartition('pred') made the triple and
-        # canonical writes scale 1.4x from 2->8 cores; this restores
-        # near-linear writer parallelism.)
-        salt = F.pmod(F.xxhash64("subj"), F.lit(slots))
+        salt = F.pmod(F.xxhash64("subj"), F.lit(n_salts))
         return df.repartition(F.col("pred"), salt)
 
     with ThreadPoolExecutor(max_workers=max(1, min(4, slots // 2))) as pool:
