@@ -195,3 +195,23 @@ def test_regex_and_automaton_kernels_agree(corpus, spark):
     a = detect_mentions(ext, aliases, force_automaton=False)
     b = detect_mentions(ext, aliases, force_automaton=True)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cc_distributed_agrees_with_driver_on_random_graph(spark):
+    """Property check at moderate scale: the large-star/small-star loop
+    and the driver union-find must produce identical component maps on a
+    seeded random graph (5k edges, mixed chains/stars/singleton pairs)."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"n{i:05d}" for i in range(4000)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(5000)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    drv = {(r.id, r.component) for r in connected_components(df).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_edge_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 1000

@@ -206,3 +206,38 @@ def test_dump_discovery_and_fetch(tmp_path):
 
     with pytest.raises(IncompleteInputError, match="in progress"):
         fetch_dumps(short, dumps, "https://dumps.example/", truncated)
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a fingerprint emitted in
+    batch 1 must never re-emit in batch 2 (state lives in the
+    checkpoint), new fingerprints still flow."""
+    from wikidata_dump_processor_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    inp, chk, outp = (str(tmp_path / d) for d in ("in", "chk", "out"))
+    os.makedirs(inp)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)\
+            .write.parquet(f"{inp}/{name}")
+        # file-source streams need files directly under input_dir
+        import glob
+        import shutil
+        for i, f in enumerate(glob.glob(f"{inp}/{name}/*.parquet")):
+            shutil.move(f, f"{inp}/{name}_{i}.parquet")
+        shutil.rmtree(f"{inp}/{name}")
+
+    write_batch("b1", [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")])
+    streaming_exact_dedup(spark, inp, chk, outp)
+    got1 = {(r.fp_md5, r.keeper_id) for r in spark.read.parquet(outp).collect()}
+    assert len(got1) == 2  # two distinct fingerprints
+    assert {k for _, k in got1} == {1, 3}  # min doc_id wins within batch
+
+    write_batch("b2", [(4, "alpha beta"), (5, "delta")])
+    streaming_exact_dedup(spark, inp, chk, outp)
+    got2 = {(r.fp_md5, r.keeper_id) for r in spark.read.parquet(outp).collect()}
+    new = got2 - got1
+    # 'alpha beta' seen in batch 1 -> suppressed; only 'delta' emits
+    assert len(new) == 1 and next(iter(new))[1] == 5

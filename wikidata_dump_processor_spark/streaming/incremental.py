@@ -15,6 +15,7 @@ PocketBase job queue (St4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import PAGES_SCHEMA
 
@@ -51,6 +52,74 @@ def incremental_pages_stream(
     )
     q = (
         out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Custom STATEFUL streaming operator: cross-batch exact dedup.
+
+    Documents arrive as new parquet files; each batch fingerprints its
+    texts, and ``applyInPandasWithState`` keeps one boolean per
+    fingerprint in the streaming state store, so a document whose
+    fingerprint was emitted in ANY earlier micro-batch is dropped — the
+    incremental counterpart of ``dedup.exact_dedup``, with the seen-set
+    surviving restarts through the checkpoint.
+
+    Scale: one shuffle per batch keyed by fingerprint (hash-partitioned
+    state), state size = one tiny row per distinct fingerprint —
+    RocksDB-backed on a real cluster.  Returns the finished query.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import normalize_text
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("fp_md5", T.StringType()),
+            T.StructField("keeper_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:  # fingerprint already emitted in an earlier batch
+            return
+        keeper = None
+        for pdf in pdfs:
+            m = pdf[id_col].min()
+            keeper = m if keeper is None else min(keeper, m)
+        state.update((True,))
+        yield pd.DataFrame({"fp_md5": [key[0]], "keeper_id": [int(keeper)]})
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    fp = stream.withColumn("fp_md5", F.md5(normalize_text(F.col(text_col))))
+    deduped = fp.groupBy("fp_md5").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
