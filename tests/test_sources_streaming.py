@@ -241,3 +241,49 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     new = got2 - got1
     # 'alpha beta' seen in batch 1 -> suppressed; only 'delta' emits
     assert len(new) == 1 and next(iter(new))[1] == 5
+
+
+def test_windowed_stream_watermark_drops_late(spark, tmp_path):
+    """Event-time windows with watermark: a window emits once when the
+    watermark passes it; an event arriving later than the watermark is
+    dropped and never re-opens the window."""
+    from datetime import datetime
+
+    from wikidata_dump_processor_spark.streaming.windowed import (
+        windowed_event_stream,
+    )
+
+    inp, chk, outp = (str(tmp_path / d) for d in ("in", "chk", "out"))
+    os.makedirs(inp)
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        ).coalesce(1).write.parquet(f"{inp}/{name}")
+        for i, f in enumerate(glob.glob(f"{inp}/{name}/*.parquet")):
+            shutil.move(f, f"{inp}/{name}_{i}.parquet")
+        shutil.rmtree(f"{inp}/{name}")
+
+    t = lambda h, m=0: datetime(2025, 3, 1, h, m)
+    write_batch("b1", [(1, t(0, 10), "click", 1.0), (2, t(0, 40), "click", 1.0),
+                       (3, t(6, 0), "view", 1.0)])  # 6:00 pushes watermark to 4:00
+    windowed_event_stream(spark, inp, chk, outp, "1 hour", "2 hours")
+    got1 = {(str(r.window_start), r.event_type, r.cnt)
+            for r in spark.read.parquet(outp).collect()}
+    # the 00:00 window closed (watermark 4:00 > 1:00); the 6:00 window did not
+    assert ("2025-03-01 00:00:00", "click", 2) in got1
+    assert not any(w.startswith("2025-03-01 06") for w, _, _ in got1)
+
+    # a late event for the already-closed 00:00 window: dropped
+    write_batch("b2", [(4, t(0, 50), "click", 1.0), (5, t(7, 0), "view", 1.0)])
+    windowed_event_stream(spark, inp, chk, outp, "1 hour", "2 hours")
+    got2 = {(str(r.window_start), r.event_type, r.cnt)
+            for r in spark.read.parquet(outp).collect()}
+    assert ("2025-03-01 00:00:00", "click", 2) in got2  # unchanged, no cnt=3 row
+    assert not any(c == 3 for _, _, c in got2)
+    # watermark is now 5:00 (7:00 - 2h), below the 6:00 window's 7:00 end:
+    # that window stays open and unemitted
+    assert not any(w.startswith("2025-03-01 06") for w, _, _ in got2)

@@ -193,6 +193,21 @@ def _q_a3(spark, sf_dir):
     )
 
 
+@q(
+    "a4_windowed_events",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS cnt,
+           sum(value::DECIMAL(14,4))::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _q_a4(spark, sf_dir):
+    from .streaming.windowed import windowed_counts
+
+    return windowed_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
 # ---------------------------------------------------------------------------
 # joins (SURVEY §2.4: J1-J6)
 # ---------------------------------------------------------------------------
