@@ -153,3 +153,50 @@ def test_graceful_stop_and_resume(spark, tmp_path):
     res = run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
                        fingerprint="g1")
     assert res["canonical_triples"].count() > 0
+
+
+def test_sql_views_over_pipeline_outputs(result, spark):
+    """register_kg_views: the materialized graph is queryable via
+    spark.sql, with predicate pruning available on the pred-partitioned
+    triples."""
+    from wikidata_dump_processor_spark.plans.pipeline import register_kg_views
+
+    # re-read from the manifest: earlier resume tests rewrite the stage
+    # files, so the fixture's cached DataFrames may point at stale files
+    man = result["manifest"]
+    fresh = {
+        "canonical_triples": spark.read.parquet(man.stages["canonical"]["path"]),
+        "nodes": spark.read.parquet(man.stages["nodes"]["path"]),
+    }
+    views = register_kg_views(spark, fresh)
+    assert "kg_canonical_triples" in views and "kg_nodes" in views
+    top = spark.sql(
+        """
+        SELECT pred, count(*) AS n FROM kg_canonical_triples
+        GROUP BY pred ORDER BY n DESC, pred LIMIT 3
+        """
+    ).collect()
+    assert top and top[0].n >= top[-1].n
+    joined = spark.sql(
+        """
+        SELECT count(*) AS n
+        FROM kg_canonical_triples t JOIN kg_nodes s ON t.subj = s.id
+        WHERE t.pred = 'P31'
+        """
+    ).first()
+    assert joined.n > 0
+
+
+def test_html_report_writer(spark, tmp_path):
+    """K4 (doi-count.pl:168-287): capped HTML table report."""
+    from wikidata_dump_processor_spark.functions.validators import write_html_report
+
+    df = spark.createDataFrame(
+        [("10.1000", "good", 5), ("10.38", "denylisted", None)],
+        "prefix string, verdict string, cnt int",
+    )
+    p = str(tmp_path / "report.html")
+    n = write_html_report(df, p, cap=1, title="doi <report>")
+    html = open(p).read()
+    assert n == 1 and html.count("<tr>") == 2  # header + 1 capped row
+    assert "doi &lt;report&gt;" in html

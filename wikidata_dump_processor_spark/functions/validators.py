@@ -45,6 +45,33 @@ def doi_report(triples: DataFrame, pred: str = "P356", cap: int = 25000) -> Data
     )
 
 
+def write_html_report(df: DataFrame, path: str, cap: int = 25000, title: str = "report") -> int:
+    """K4 (doi-count.pl:168-287): the QA report as an HTML table, capped
+    at the reference's 25 000 rows (doi-count.pl:210).  Streams through
+    toLocalIterator — a report-format shim for capped outputs, not a
+    data-plane sink.  Returns the row count written."""
+    import html as _html
+
+    cols = df.columns
+    n = 0
+    with open(path, "w") as f:
+        f.write(f"<html><head><title>{_html.escape(title)}</title></head><body>\n")
+        f.write(f"<h1>{_html.escape(title)}</h1>\n<table border=1>\n<tr>")
+        f.write("".join(f"<th>{_html.escape(c)}</th>" for c in cols))
+        f.write("</tr>\n")
+        for row in df.limit(cap).toLocalIterator():
+            f.write("<tr>")
+            f.write(
+                "".join(
+                    f"<td>{_html.escape('' if v is None else str(v))}</td>" for v in row
+                )
+            )
+            f.write("</tr>\n")
+            n += 1
+        f.write(f"</table>\n<p>{n} rows (cap {cap})</p>\n</body></html>\n")
+    return n
+
+
 def value_format_check(
     triples: DataFrame, pred: str, pattern: str = r"^[0-7][0-9A-Za-z]{21}$"
 ) -> DataFrame:

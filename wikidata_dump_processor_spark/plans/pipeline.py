@@ -347,3 +347,18 @@ def run_pipeline(
         "nodes": nodes,
         "manifest": man,
     }
+
+
+def register_kg_views(spark: SparkSession, tables: dict) -> list[str]:
+    """Expose the pipeline's materialized tables to ``spark.sql`` as
+    temp views (kg_triples, kg_nodes, ...) so users query the graph
+    declaratively — Catalyst sees the parquet scans directly, partition
+    pruning on ``pred`` included."""
+    names = []
+    for name, df in tables.items():
+        if not isinstance(df, DataFrame):
+            continue
+        view = f"kg_{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names
