@@ -184,3 +184,16 @@ def test_ivf_topk_recall_and_partition(spark, embeddings):
     # assignment is a partition of the corpus
     cents = S.ivf_centroids(embeddings, n_cells=8)
     assert len(cents) == 8 and all(len(v) == 64 for _, v in cents)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: one row per image, deterministic output size, per-row
+    error channel for empty payloads."""
+    media = M.gen_media(spark, 60)
+    n_images = media.filter(F.col("kind") == "image").count()
+    rows = M.resize_images(media, 224, 224).collect()
+    assert len(rows) == n_images
+    ok = [r for r in rows if r.resize_error is None]
+    bad = [r for r in rows if r.resize_error is not None]
+    assert ok and all(len(r.resized) == 224 * 224 // 64 for r in ok)
+    assert bad and all(r.resized is None for r in bad)  # i%17==9 null payloads

@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r2-6"
+VERSION = "r2-8"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -730,6 +730,21 @@ def _t_lsh_topk(k=5, dim=64, n_bits=4, n_tables=8, n_queries=10):
     )
 
 
+def _t_rolling_fp():
+    """textstats.rolling_fingerprint re-derived: the 64-bit state rolls
+    through the token stream as acc = xxhash64(token, acc)."""
+    from .xxh64 import spark_xxhash64
+
+    rows = []
+    for doc_id, text in _read_docs():
+        toks = [t for t in _norm_tokens(text) if t]
+        acc = 0
+        for t in toks:
+            acc = spark_xxhash64(t, ("long", acc))
+        rows.append({"doc_id": doc_id, "fp_rolling": acc})
+    return rows, pa.schema([("doc_id", pa.int64()), ("fp_rolling", pa.int64())])
+
+
 def _t_image_features(n: int = 200):
     """multimodal.py plumbing oracle: the synthetic media table and the
     deterministic stub decode re-derived as a naive loop (the stub's
@@ -871,6 +886,7 @@ def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
         "minhash_pairs": _t_minhash_pairs(),
         "simhash_pairs": _t_simhash_pairs(),
         "lsh_topk": _t_lsh_topk(),
+        "rolling_fp": _t_rolling_fp(),
     }
     for name, (rows, schema) in tables.items():
         _write(os.path.join(out, f"{name}.parquet"), rows, schema)

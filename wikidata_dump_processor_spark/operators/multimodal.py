@@ -141,6 +141,65 @@ def image_features(media: DataFrame, decoder: str | None = None) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: one resized binary per image row, Arrow-batched,
+    per-row error channel.  Kernel is PIL when importable (thumbnail +
+    re-encode), else a deterministic stub (truncated/padded payload
+    bytes) so the batch shapes and schema are testable end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_pil = _pick_decoder() is _decode_image_pil
+        target = width * height // 64  # stub: deterministic output size
+
+        def kernel(b: bytes) -> bytes:
+            if not b:
+                raise NotImplementedError("empty payload")
+            if use_pil:  # pragma: no cover - container has no PIL
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(b))
+                img.thumbnail((width, height))
+                out = io.BytesIO()
+                img.save(out, format="PNG")
+                return out.getvalue()
+            return (b * (target // max(len(b), 1) + 1))[:target]
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "resized", "out_w", "out_h", "resize_error")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    rb = kernel(b)
+                    out["resized"].append(rb)
+                    out["out_w"].append(width)
+                    out["out_h"].append(height)
+                    out["resize_error"].append(None)
+                except Exception as e:
+                    out["resized"].append(None)
+                    out["out_w"].append(None)
+                    out["out_h"].append(None)
+                    out["resize_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video (1 -> N rows).  STUB: 'frames'
     are deterministic byte slices; a real implementation calls the codec

@@ -78,6 +78,21 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return f.withColumn("quality", F.round(score, 6))
 
 
+def rolling_fingerprint(text: Column) -> Column:
+    """Rolling document fingerprint: fold the normalized token stream
+    left-to-right as ``acc = xxhash64(token, acc)`` (hash chaining — the
+    64-bit state rolls through every token).  Pure codegen (aggregate
+    HOF), order-sensitive — unlike the md5 of the whole text, a token
+    swap changes it — and ANSI-safe (no overflowing arithmetic)."""
+    t = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    toks = F.filter(F.split(t, " "), lambda w: w != "")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.xxhash64(w, acc),
+    )
+
+
 def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: language with the most profile-word
     hits wins; 'und' (undetermined) when no profile matches.

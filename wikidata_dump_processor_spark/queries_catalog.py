@@ -42,6 +42,17 @@ def _dec(c, p=18, s=2):
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# golden parquet fixtures (pure-Python re-derivations, see golden.py) —
+# the oracle side of every query whose expected output is not
+# SQL-derivable from the test tables alone
+from .golden import golden_dir as _golden_dir  # noqa: E402
+
+_G = _golden_dir()
+
+
+def _gp(table: str) -> str:
+    return f"read_parquet('{_G}/{table}.parquet')"
+
 
 def q(name: str, sql: str | None = None):
     def reg(fn):
@@ -618,6 +629,14 @@ def _q_t2(spark, sf_dir):
     return detect_language(d).select("doc_id", "lang_detected")
 
 
+@q("d4_rolling_fingerprint", f"SELECT doc_id, fp_rolling FROM {_gp('rolling_fp')}")
+def _q_d4(spark, sf_dir):
+    from .operators.textstats import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp_rolling"))
+
+
 def _t3_sql():
     from .operators.textstats import LANG_PROFILES
 
@@ -746,15 +765,6 @@ def _q_v1(spark, sf_dir):
 # (minhash/simhash/LSH use JVM xxhash64) and the binary-stub multimodal op
 # stay rows-only.
 # ---------------------------------------------------------------------------
-
-from .golden import golden_dir as _golden_dir
-
-_G = _golden_dir()
-
-
-def _gp(table: str) -> str:
-    return f"read_parquet('{_G}/{table}.parquet')"
-
 
 def _kg_parsed(spark, sf_dir):
     from . import datagen
