@@ -200,3 +200,29 @@ def test_html_report_writer(spark, tmp_path):
     html = open(p).read()
     assert n == 1 and html.count("<tr>") == 2  # header + 1 capped row
     assert "doi &lt;report&gt;" in html
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key join without
+    shuffling either side (no Exchange in the executed plan), and the
+    sort-merge join reuses the bucket sort."""
+    from wikidata_dump_processor_spark.plans.pipeline import write_bucketed
+
+    a = spark.range(0, 5000).select(F.col("id").alias("id_num"),
+                                    (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 5000, 7).select(F.col("id").alias("id_num"),
+                                       (F.col("id") + 1).alias("y"))
+    write_bucketed(a, "t_bkt_a", buckets=8, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", buckets=8, path=str(tmp_path / "b"))
+    try:
+        # force SMJ (tiny test tables would auto-broadcast): the point is
+        # that the bucket layout removes the hash-partition shuffle
+        j = spark.table("t_bkt_a").hint("merge").join(spark.table("t_bkt_b"), "id_num")
+        n = j.count()
+        assert n == b.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

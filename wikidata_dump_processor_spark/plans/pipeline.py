@@ -349,6 +349,32 @@ def run_pipeline(
     }
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    bucket_col: str = "id_num",
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed, sorted table write — the co-located-join layout
+    (SURVEY.md §1.4: the PDS direct-address index role).  Two tables
+    bucketed on the same key join with NO exchange of either side, and a
+    point lookup prunes to one bucket; at 100 TB this is the layout for
+    the node catalog and anything repeatedly joined on entity id.
+    (Iceberg's bucket partition transform is the same idea; the sandbox
+    uses the Spark catalog's native bucketing.)"""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def register_kg_views(spark: SparkSession, tables: dict) -> list[str]:
     """Expose the pipeline's materialized tables to ``spark.sql`` as
     temp views (kg_triples, kg_nodes, ...) so users query the graph
