@@ -15,10 +15,10 @@ pandas-converted values with NO normalization — round-1 lesson):
 * every computed column aliased identically in Spark and SQL
 * deterministic ordering/tie-breaks wherever a limit/top-k is involved
 
-KG-pipeline queries (non-SQL-expressible: variant parsing, trie UDFs,
-iterative CC) are registered without an oracle — the driver records a
-rows-only check and pytest carries their correctness (golden oracle,
-P/R gate).
+KG-pipeline queries (variant parsing, trie UDFs, iterative CC, the
+hash-seeded dedup/LSH ops) are oracle-checked against pure-Python golden
+parquet fixtures (golden.py) instead of ANSI SQL — every registered
+query has an oracle; none is rows-only.
 """
 
 from __future__ import annotations
@@ -758,12 +758,12 @@ def _q_v1(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # KG-pipeline queries.  The pipeline runs on the deterministic synthetic
-# corpus, so most outputs have a FULL golden oracle: a pure-Python
+# corpus, so EVERY output has a FULL golden oracle: a pure-Python
 # re-derivation (golden.py) writes the expected tables as parquet and the
 # oracle SQL is a read_parquet over them — the driver then compares the
-# Spark pipeline's output row-for-row.  Only the hash-seeded ops
-# (minhash/simhash/LSH use JVM xxhash64) and the binary-stub multimodal op
-# stay rows-only.
+# Spark pipeline's output row-for-row.  The hash-seeded ops are covered
+# too (xxh64.py reproduces Spark's xxhash64 bit-for-bit); the multimodal
+# query pins its deterministic stub decoder.
 # ---------------------------------------------------------------------------
 
 def _kg_parsed(spark, sf_dir):
