@@ -197,3 +197,13 @@ def test_resize_images_plumbing(spark):
     bad = [r for r in rows if r.resize_error is not None]
     assert ok and all(len(r.resized) == 224 * 224 // 64 for r in ok)
     assert bad and all(r.resized is None for r in bad)  # i%17==9 null payloads
+
+
+def test_bpe_ish_token_count(docs, spark):
+    """Sub-word-ish counting splits on punctuation and digit boundaries."""
+    df = spark.createDataFrame(
+        [("a",), ("hello, world!",), ("abc123def",), ("",)], "t string"
+    )
+    got = [r.n for r in df.select(X.bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    # "hello , world !" = 4; "abc 123 def" = 3
+    assert got == [1, 4, 3, 0]
