@@ -28,8 +28,10 @@ from wikidata_dump_processor_spark.operators.linking import (  # noqa: E402
     link_mentions,
     mention_triples,
 )
-from wikidata_dump_processor_spark.operators.mentions import detect_mentions  # noqa: E402
-from wikidata_dump_processor_spark.operators.text_extract import extract_text  # noqa: E402
+from wikidata_dump_processor_spark.operators.text_extract import (  # noqa: E402
+    extract_and_detect,
+    exploded_mentions,
+)
 from wikidata_dump_processor_spark.session import get_spark  # noqa: E402
 
 
@@ -56,11 +58,25 @@ def main():
             df.write.mode("overwrite").parquet(os.path.join(out, name))
             return spark.read.parquet(os.path.join(out, name))
 
-        parsed = clock("extract+parse", lambda: w(TR.parse_entities(extract_text(pages)), "extracted"))
-        triples = clock("triples", lambda: w(TR.extract_triples(parsed).repartition(F.col("pred")), "triples"))
+        parsed = clock(
+            "extract+scan+parse (fused)",
+            lambda: w(
+                TR.parse_entities(extract_and_detect(pages, aliases), extra_cols=("mentions",)),
+                "extracted",
+            ),
+        )
+        n_salts = max(1, min(cpus, n // 25_000))
+        salt = F.pmod(F.xxhash64("subj"), F.lit(n_salts))
+        triples = clock(
+            "triples",
+            lambda: w(TR.extract_triples(parsed).repartition(F.col("pred"), salt), "triples"),
+        )
         clock("items", lambda: w(TR.items_table(parsed), "items"))
         clock("props", lambda: w(TR.props_catalog(parsed), "props"))
-        linked = clock("mentions+link", lambda: w(link_mentions(detect_mentions(parsed, aliases), aliases, catalog), "mentions"))
+        linked = clock(
+            "link (explode+join)",
+            lambda: w(link_mentions(exploded_mentions(parsed), aliases, catalog), "mentions"),
+        )
         all_triples = triples.select("subj", "pred", "obj", "src_url").unionByName(
             mention_triples(linked.select("url", "qid"))
         )
