@@ -126,10 +126,9 @@ class _Corpus:
         self.n = n
         self.pages = []  # (i, url, text, ent_diag, j-or-None)
         for i in range(n):
-            url = datagen.page_row_url(i) if hasattr(datagen, "page_row_url") else None
-            if url is None:
-                dom = datagen.HEAD_DOMAIN if i % 10 < 3 else f"site{i % 97}.example"
-                url = f"https://{dom}/wiki/Page_{i}"
+            # page_row(i)['url'] re-derived without building the html blob
+            dom = datagen.HEAD_DOMAIN if i % 10 < 3 else f"site{i % 97}.example"
+            url = f"https://{dom}/wiki/Page_{i}"
             text = datagen.expected_text(i)
             j, diag = _parse_record(text)
             self.pages.append((i, url, text, diag, j))
