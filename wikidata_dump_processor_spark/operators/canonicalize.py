@@ -163,12 +163,29 @@ def connected_components(
 
 def canonical_map(triples: DataFrame, preds: list[str] | None = None) -> DataFrame:
     """Full canonicalization map: (id, canonical_id) for every subject
-    seen in the triples; singletons map to themselves."""
+    seen in the triples; singletons map to themselves.
+
+    NOTE: materializing the identity mappings costs a full distinct over
+    the subject column — useful as a catalog/contract output, but the
+    pipeline's hot path only needs ``canonical_remap`` (the non-identity
+    rows, bounded by the number of MERGES, not subjects)."""
     edges = identifier_edges(triples, preds)
     cc = connected_components(edges)
     subs = triples.select(F.col("subj").alias("id")).distinct()
     return subs.join(cc, "id", "left").select(
         "id", F.coalesce("component", "id").alias("canonical_id")
+    )
+
+
+def canonical_remap(triples: DataFrame, preds: list[str] | None = None) -> DataFrame:
+    """Only the NON-identity canonicalization rows (id -> canonical_id,
+    id != canonical_id).  The CC runs over merge edges alone, so this
+    never touches the full subject set — no 10^9-row distinct at 100 TB;
+    ``rewrite_triples``'s coalesce fallback supplies the identity
+    mappings implicitly."""
+    cc = connected_components(identifier_edges(triples, preds))
+    return cc.filter(F.col("id") != F.col("component")).select(
+        "id", F.col("component").alias("canonical_id")
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import triples as TR
-from ..operators.canonicalize import canonical_map, rewrite_triples
+from ..operators.canonicalize import canonical_remap, rewrite_triples
 from ..operators.linking import link_mentions, mention_triples
 from ..operators.text_extract import extract_and_detect, exploded_mentions
 
@@ -294,19 +294,22 @@ def run_pipeline(
     _stop_check()
     cmap_holder: dict = {}
 
-    def _canonical():
-        t0 = time.time()
-        all_triples = triples.select("subj", "pred", "obj", "src_url").unionByName(
+    def _all_triples():
+        return triples.select("subj", "pred", "obj", "src_url").unionByName(
             mention_triples(linked.select("url", "qid"))
         )
-        # the CC loop materializes its assignment; keep it for the nodes
-        # stage (the canonical-subject set is the image of this small map,
-        # so nodes never needs to re-scan the full triple table)
-        cmap = canonical_map(all_triples).localCheckpoint(eager=False)
-        cmap_holder["cmap"] = cmap
+
+    def _canonical():
+        t0 = time.time()
+        all_triples = _all_triples()
+        # NON-identity remap only (bounded by merges, not subjects): the
+        # full canonical map would cost a distinct over every subject —
+        # the rewrite's coalesce supplies identity mappings implicitly.
+        remap = canonical_remap(all_triples).localCheckpoint(eager=False)
+        cmap_holder["remap"] = remap
         if os.environ.get("PIPELINE_TIMING"):
             print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
-        return rewrite_triples(all_triples, cmap)
+        return rewrite_triples(all_triples, remap)
 
     canonical_triples = _write_stage(
         spark, man, "canonical", fp,
@@ -317,18 +320,26 @@ def run_pipeline(
     _stop_check()
 
     def _nodes():
-        cmap = cmap_holder.get("cmap")
-        if cmap is not None:
-            cmap_ids = cmap.select(F.col("canonical_id").alias("id")).distinct()
+        remap = cmap_holder.get("remap")
+        base = items.drop("_part_id")
+        if remap is not None:
+            # canonical node set = items appearing as subjects, minus the
+            # merge losers.  distinct() BEFORE the semi-join matters: the
+            # partial (map-side) aggregation collapses the 9M-row subject
+            # column to ~#items rows before the exchange; the anti-join
+            # against the merge-bounded remap stays unhinted (planner
+            # broadcasts it when small, same discipline as rewrite_triples).
+            subj_ids = _all_triples().select(F.col("subj").alias("id")).distinct()
+            losers = remap.select("id")
+            merged = base.join(subj_ids, "id", "left_semi").join(
+                losers, "id", "left_anti"
+            )
         else:  # resume path: canonical stage was skipped, read its output
             cmap_ids = canonical_triples.select(F.col("subj").alias("id")).distinct()
-        merged = (
-            items.drop("_part_id")
-            .join(cmap_ids, "id", "left_semi")
-            # materialize once: repartitionByRange samples its input to pick
-            # bounds, which would otherwise re-run the semi-join twice
-            .localCheckpoint(eager=False)
-        )
+            merged = base.join(cmap_ids, "id", "left_semi")
+        # materialize once: repartitionByRange samples its input to pick
+        # bounds, which would otherwise re-run the joins twice
+        merged = merged.localCheckpoint(eager=False)
         return merged.repartitionByRange(
             max(spark.sparkContext.defaultParallelism, 1), "id_num"
         )
