@@ -199,10 +199,31 @@ def entity_record(i: int) -> dict | None:
     return ent
 
 
+def heading_lines(i: int) -> list[str]:
+    """Wikitext heading fixtures for the kg14 analyzer (Text.pm:6-108):
+    ~10% of pages carry heading lines — correct headings at varying
+    levels, one-token and multi-token ``{{macro|...}}`` groups, and (every
+    third such page) a mismatched open/close level that must surface as a
+    'heading mismatch' error.  Words here are deliberately disjoint from
+    the alias surfaces so the mention fixtures are untouched."""
+    if i % 10 != 3:
+        return []
+    eq = "=" * (2 + (i // 10) % 3)
+    out = [f"{eq} Etymology {eq}"]
+    if i % 20 == 3:
+        out.append(f"{eq} {{{{en-noun|lemma{i}|s}}}} Noun {eq}")
+    else:
+        out.append(f"{eq} ({{{{m|de|Wort des Tages}}}}) Pronunciation {eq}")
+    if i % 30 == 23:
+        out.append(f"={eq} Mismatched Section {eq}")  # error path
+    return out
+
+
 def page_body_lines(i: int) -> list[str]:
     """BODY of page i: line 1 = serialized entity record (or malformed
     JSON / plain text), following lines = free text with dictionary
-    mentions (the mention-detection fixture)."""
+    mentions (the mention-detection fixture) plus, on ~10% of pages, a
+    wikitext heading block (``heading_lines``)."""
     r = _rng(SEED, "body", i)
     ent = entity_record(i)
     if ent is None:
@@ -227,6 +248,9 @@ def page_body_lines(i: int) -> list[str]:
         take = min(len(words), r.randint(6, 12))
         lines.append(" ".join(words[:take]))
         words = words[take:]
+    # heading block as a contiguous span after the record line, so the
+    # engine and the golden oracle agree on heading order trivially
+    lines[1:1] = heading_lines(i)
     return lines
 
 

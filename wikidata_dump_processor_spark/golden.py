@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r2-8"
+VERSION = "r3-1"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -541,22 +541,86 @@ def _t_inverted_index(triples_rows, props_rows, hot_threshold: int = 500):
     return rows, pa.schema([("pred", pa.string()), ("n", pa.int64()), ("layout", pa.string())])
 
 
+def _g_heading_words(tokens: list[str]) -> list[str]:
+    """Naive re-derivation of Text.pm:53-95 (heading tokens -> plain
+    words, ``{{macro|...}}`` groups skipped) with string ops only — shares
+    no code with operators/wikitext.py, so kg14 agreement is a real check.
+
+    Spec (Text.pm:60-90): a token opening with ``{{`` (optionally paren-
+    wrapped) starts a macro group; if ``}}`` appears later in the same
+    token (>=1 char after the open) the group is that one token, else the
+    group runs until a token whose tail — after an optional trailing ','
+    then optional ')' — ends with ``}}`` (>=1 char before it)."""
+    words: list[str] = []
+    k, n = 0, len(tokens)
+    while k < n:
+        t = tokens[k]
+        k += 1
+        core = t[1:] if t.startswith("(") else t
+        if core.startswith("{{"):
+            inner = core[2:]
+            if inner.find("}}", 1) >= 0:
+                continue  # one-token group
+            if inner:  # group spans tokens until a closing token
+                while k < n:
+                    t2 = tokens[k]
+                    k += 1
+                    c2 = t2[:-1] if t2.endswith(",") else t2
+                    c2 = c2[:-1] if c2.endswith(")") else c2
+                    if len(c2) > 2 and c2.endswith("}}"):
+                        break
+                continue
+            # bare '{{' with nothing after: not a macro open -> word
+        words.append(t)
+    return words
+
+
 def _t_wikitext(c: _Corpus):
-    """Text.pm:6-51 over the corpus: no fixture line starts with '=' so
-    every page is one heading-less row; empty text -> 'empty'
-    (Text.pm:12).  Heading/macro parsing itself is pytest-covered."""
+    """Text.pm:6-108 over the corpus, naively: empty text -> one 'empty'
+    row (Text.pm:12); heading lines start with '=' (Text.pm:21), split on
+    whitespace; first token must equal last token else a 'heading
+    mismatch' error is recorded and the line skipped (Text.pm:24-32);
+    heading level = open-token length; one output row per good heading
+    (plus one null-heading row for heading-less docs).  ~10% of fixture
+    pages carry headings incl. macros and one mismatch variant
+    (datagen.heading_lines), so this exercises the real parser paths."""
     rows = []
     for i, url, text, diag, j in c.pages:
         lines = text.split("\n") if text else []
         doc_type = "empty" if not lines else "unknown"
-        has_heading = any(ln.startswith("=") for ln in lines)
-        assert not has_heading, "fixture grew headings; extend golden wikitext"
-        rows.append(
-            {
-                "url": url, "doc_type": doc_type, "n_errors": 0, "errors": "[]",
-                "heading_level": None, "heading_words": None,
-            }
-        )
+        errors: list[str] = []
+        headings: list[tuple[int, list[str]]] = []
+        for ln in lines:
+            if not ln.startswith("="):
+                continue
+            tokens = ln.split()
+            if not tokens:
+                continue
+            hl_o = tokens[0]
+            hl_c = tokens[-1] if len(tokens) > 1 else ""
+            if hl_o != hl_c:
+                errors.append(
+                    f"heading mismatch: [{ln}] hl_o=[{hl_o}] hl_c=[{hl_c}]"
+                )
+                continue
+            headings.append((len(hl_o), _g_heading_words(tokens[1:-1])))
+        base = {
+            "url": url,
+            "doc_type": doc_type,
+            "n_errors": len(errors),
+            "errors": json.dumps(errors, separators=(",", ":")),
+        }
+        if headings:
+            for level, words in headings:
+                rows.append(
+                    {
+                        **base,
+                        "heading_level": level,
+                        "heading_words": json.dumps(words, separators=(",", ":")),
+                    }
+                )
+        else:
+            rows.append({**base, "heading_level": None, "heading_words": None})
     return rows, pa.schema(
         [
             ("url", pa.string()), ("doc_type", pa.string()), ("n_errors", pa.int64()),

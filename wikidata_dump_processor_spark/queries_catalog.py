@@ -987,6 +987,14 @@ def _q_kg15(spark, sf_dir):
     )
 
 
+@q("kg16_doi_report", f"SELECT prefix, verdict, cnt FROM {_gp('doi_report')}")
+def _q_kg16(spark, sf_dir):
+    from .functions.validators import doi_report
+    from .operators.triples import extract_triples
+
+    return doi_report(extract_triples(_kg_parsed(spark, sf_dir)))
+
+
 @q("kg17_ns_usage", f"SELECT ns_id, n_pages, ns_case, ns_name FROM {_gp('ns_usage')}")
 def _q_kg17(spark, sf_dir):
     from . import datagen
@@ -1007,11 +1015,3 @@ def _q_kg18(spark, sf_dir):
         item_entities(_kg_parsed(spark, sf_dir)), "P31"
     )
     return tsv_df
-
-
-@q("kg16_doi_report", f"SELECT prefix, verdict, cnt FROM {_gp('doi_report')}")
-def _q_kg16(spark, sf_dir):
-    from .functions.validators import doi_report
-    from .operators.triples import extract_triples
-
-    return doi_report(extract_triples(_kg_parsed(spark, sf_dir)))
