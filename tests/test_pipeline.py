@@ -107,6 +107,51 @@ def test_canonical_subjects_are_merged(result, spark, out):
             assert loser not in cano_subjects
 
 
+def test_partition_metrics_hadoop_fs_listing(spark, tmp_path):
+    """Lineage metrics enumerate files through the Hadoop FS API — a
+    file:-URI path (explicit scheme, where a local glob on the raw string
+    would list nothing) must still yield per-file row counts + bytes."""
+    from wikidata_dump_processor_spark.plans.pipeline import _partition_metrics
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(4).write.parquet(p)
+    for path in (p, "file://" + p):
+        m = _partition_metrics(spark, path)
+        assert m["rows"] == 100, path
+        assert m["bytes"] > 0
+        assert len(m["partitions"]) == 4
+        assert all(rel.endswith(".parquet") for rel in m["partitions"])
+
+
+def test_interrupted_stage_shows_in_progress_then_recommits(spark, tmp_path):
+    """St4 job-queue states (wdq_fetcher.pl:110-123): a stage that starts
+    but crashes leaves state=in_progress in the manifest (distinguishable
+    from never-started); a re-run re-runs it and flips to committed with
+    the original started_at preserved."""
+    from wikidata_dump_processor_spark.plans.pipeline import _write_stage
+
+    out = str(tmp_path / "pipe")
+    man = StageManifest(out)
+
+    def boom():
+        raise RuntimeError("simulated executor loss")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        _write_stage(spark, man, "s1", "fp", boom, os.path.join(out, "s1"))
+    m = json.load(open(os.path.join(out, MANIFEST)))
+    assert m["s1"]["state"] == "in_progress" and "started_at" in m["s1"]
+    t_started = m["s1"]["started_at"]
+    man2 = StageManifest(out)  # fresh process resuming
+    assert not man2.done("s1", "fp")
+    assert man2.committed() == []
+    _write_stage(spark, man2, "s1", "fp", lambda: spark.range(10), os.path.join(out, "s1"))
+    m2 = json.load(open(os.path.join(out, MANIFEST)))
+    assert m2["s1"]["state"] == "committed"
+    assert m2["s1"]["metrics"]["rows"] == 10
+    assert m2["s1"]["started_at"] >= t_started
+    assert man2.committed() == ["s1"]
+
+
 def test_preflight_gates(spark, tmp_path):
     """St6 (wdq0.pl:163-181, 278-281): completeness/size sanity gates fail
     BEFORE any stage commits."""

@@ -77,3 +77,84 @@ def test_distributed_extraction_byte_identical(spark):
     for r in rows:
         i = int(re.search(r"Page_(\d+)$", r.url).group(1))
         assert (r.text or "") == datagen.expected_text(i), f"byte mismatch for page {i}"
+
+
+def _multipage_stream(idxs):
+    """One XML stream holding the <page> frames of datagen pages `idxs`
+    (per-page <mediawiki> wrappers stripped, like a real dump)."""
+    inner = []
+    for i in idxs:
+        inner += datagen.page_xml(i).split("\n")[1:-1]
+    return "\n".join(["<mediawiki>"] + inner + ["</mediawiki>"])
+
+
+def test_split_page_documents_pure():
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        split_page_documents,
+    )
+
+    idxs = list(range(1, 13))  # covers empty-text, single-line, heading pages
+    chunks = split_page_documents(_multipage_stream(idxs))
+    assert len(chunks) == len(idxs)
+    for i, c in zip(idxs, chunks):
+        fr = extract_page(c)
+        ref = extract_page(datagen.page_xml(i))
+        assert fr["text"] == ref["text"], i  # byte-identical per frame
+        assert fr["title"] == ref["title"] and fr["id"] == ref["id"]
+    # single-page / pageless docs pass through unchanged
+    assert split_page_documents(PAGE) == [PAGE]
+    assert split_page_documents("no pages here") == ["no pages here"]
+
+
+def test_split_namespace_lines_accumulate():
+    # a namespace row BETWEEN pages is state-0 context for every later
+    # frame (wkt1.pl:176-180: %ns accumulates over the stream)
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        split_page_documents,
+    )
+
+    lines = _multipage_stream([1, 2]).split("\n")
+    close = [k for k, ln in enumerate(lines) if ln.strip() == "</page>"]
+    lines.insert(close[0] + 1, '  <namespace key="4" case="first-letter">Project</namespace>')
+    chunks = split_page_documents("\n".join(lines))
+    assert len(chunks) == 2
+    ns0 = extract_page(chunks[0])["namespaces"]
+    ns1 = extract_page(chunks[1])["namespaces"]
+    assert not any(n["ns_id"] == "4" for n in ns0)
+    assert any(n["ns_id"] == "4" for n in ns1)
+
+
+def test_split_multipage_operator(spark):
+    """1->N splitter feeding the existing extractor: an N-page stream row
+    yields N extracted rows byte-identical to per-page extraction."""
+    import pandas as pd
+    from wikidata_dump_processor_spark.operators.text_extract import split_multipage
+    from wikidata_dump_processor_spark.schemas import PAGES_SCHEMA
+
+    idxs = list(range(1, 13))
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "https://dumps.example/part-00000",
+                    "warc_ts": datagen.page_row(0)["warc_ts"],
+                    "html": _multipage_stream(idxs).encode(),
+                    "text": None,
+                    "lang": "en",
+                },
+                datagen.page_row(20),  # single-page row: passes through
+            ]
+        ),
+        PAGES_SCHEMA,
+    )
+    got = {
+        r.url: r
+        for r in extract_text(split_multipage(raw)).collect()
+    }
+    assert len(got) == len(idxs) + 1
+    for k, i in enumerate(idxs, start=1):
+        row = got[f"https://dumps.example/part-00000#page={k}"]
+        assert row.text == datagen.expected_text(i), i
+        assert row.title == f"Page_{i}"
+        assert row.diag is None or row.text == ""
+    assert got[datagen.page_row(20)["url"]].text == datagen.expected_text(20)

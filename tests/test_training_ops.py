@@ -161,6 +161,25 @@ def test_multimodal_decoder_feature_gate(monkeypatch):
         assert M._pick_decoder() is M._decode_image_stub
 
 
+def test_multimodal_pil_kernel_real_decode(spark):
+    """Skip-gated on PIL (absent in this container, present on a real
+    cluster): auto decoder selection must pick the PIL kernel and return
+    the true dimensions of a generated PNG."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (5, 7), (200, 10, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "image/png", None)],
+        M.MEDIA_SCHEMA,
+    )
+    [row] = M.image_features(media, decoder=None).collect()
+    assert row.decode_error is None
+    assert (row.width, row.height) == (5, 7)
+    assert row.phash is not None
+
+
 def test_ivf_topk_recall_and_partition(spark, embeddings):
     """IVF probes n_probe of n_cells; recall vs brute force well above
     the coverage floor, perfect when probing every cell."""

@@ -740,13 +740,33 @@ def _t_simhash_pairs(max_hamming=8, bands=4, max_bucket=500):
     )
 
 
+def _g_hyperplane(dim: int, bit: int, table: int) -> list[float]:
+    """The hyperplane formula IS the spec (shared between engine and
+    oracle by definition, like a hash seed): coordinate d of plane
+    (table, bit) = blake2b-8("{table}:{bit}:{d}") as unsigned big-endian,
+    scaled to [-1, 1) by /2^63 - 1.  Re-derived here inline so golden.py
+    imports zero engine code; bucketing and re-ranking below are
+    independently implemented."""
+    import hashlib
+
+    return [
+        (
+            int.from_bytes(
+                hashlib.blake2b(f"{table}:{bit}:{d}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            / 2**63
+        )
+        - 1.0
+        for d in range(dim)
+    ]
+
+
 def _t_lsh_topk(k=5, dim=64, n_bits=4, n_tables=8, n_queries=10):
     """similarity.lsh_topk re-derived (kg10 params).  Dot products and
     cosines are left-to-right double folds — bit-identical to the JVM's
     sequential aggregate."""
     import math
-
-    from .operators.similarity import _hyperplane
 
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
     vecs = {
@@ -764,7 +784,7 @@ def _t_lsh_topk(k=5, dim=64, n_bits=4, n_tables=8, n_queries=10):
     queries = {vid: v for vid, v in vecs.items() if vid < n_queries}
     cand: dict[int, set] = {q: set() for q in queries}
     for tbl in range(n_tables):
-        planes = [_hyperplane(dim, b, tbl) for b in range(n_bits)]
+        planes = [_g_hyperplane(dim, b, tbl) for b in range(n_bits)]
 
         def sig(v):
             s = 0

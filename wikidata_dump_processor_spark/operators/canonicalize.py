@@ -190,7 +190,10 @@ def canonical_remap(triples: DataFrame, preds: list[str] | None = None) -> DataF
 
 
 def rewrite_triples(
-    triples: DataFrame, cmap: DataFrame, broadcast_limit: int = 10_000_000
+    triples: DataFrame,
+    cmap: DataFrame,
+    broadcast_limit: int = 10_000_000,
+    remap_count: int | None = None,
 ) -> DataFrame:
     """Rewrite subjects (and entity-valued objects) through the resolution
     map — the J4-style lookup join (cntprops.pl:64-77 model).
@@ -205,9 +208,14 @@ def rewrite_triples(
     — VIAF spam — can make the remap arbitrarily large), so the remap is
     counted first and above ``broadcast_limit`` rows the rewrite falls
     back to shuffle joins, where AQE's skew split handles hot canonical
-    ids."""
-    remap = cmap.filter(F.col("id") != F.col("canonical_id")).localCheckpoint(eager=False)
-    small = remap.count() <= broadcast_limit
+    ids.  A caller that already knows the remap size (the pipeline counts
+    it once and caches it in the stage manifest) passes ``remap_count``
+    to skip the count job and the re-checkpoint."""
+    remap = cmap.filter(F.col("id") != F.col("canonical_id"))
+    if remap_count is None:
+        remap = remap.localCheckpoint(eager=False)
+        remap_count = remap.count()
+    small = remap_count <= broadcast_limit
     subj_map = remap.select(F.col("id").alias("subj"), F.col("canonical_id").alias("_cs"))
     obj_map = remap.select(F.col("id").alias("obj"), F.col("canonical_id").alias("_co"))
     if small:

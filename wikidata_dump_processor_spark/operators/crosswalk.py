@@ -58,7 +58,13 @@ def geonames_gnd_join(triples: DataFrame, items: DataFrame) -> DataFrame:
     ids (P227) on the item id, projecting the item's preferred (lang,
     label).  The reference's duplicate handling is hash-overwrite
     last-wins (geonames.pl:73) — here an explicit deterministic pick of
-    the max obj per (subj, pred) (SURVEY.md §7.3 hard part 4)."""
+    the max obj per (subj, pred) (SURVEY.md §7.3 hard part 4).
+
+    DELIBERATE DIVERGENCE: max-value, NOT file order — when a subject's
+    later-in-file row carries a lexicographically smaller value the
+    reference keeps that smaller value and this engine keeps the max.
+    File order is not reproducible under parallel scan, so the tie-break
+    must be value-based; the golden oracle mirrors the same rule."""
 
     def side(pred: str) -> DataFrame:
         d = triples.filter(F.col("pred") == pred).select("subj", "obj")

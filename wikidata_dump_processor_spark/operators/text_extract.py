@@ -116,6 +116,86 @@ def extract_page(doc: str) -> dict:
     return flushed
 
 
+def split_page_documents(doc: str) -> list[str]:
+    """Split ONE multi-page XML stream into per-page documents.
+
+    The reference runs a single state machine over a whole dump stream
+    containing many ``<page>`` frames (wkt1.pl:153-295); the pages table
+    is one-page-per-row, so a raw dump must be pre-split.  Chunk k =
+    every state-0 line seen so far (the stream preamble and any
+    namespace-catalog rows between pages, which accumulate in the
+    reference's %ns) + page k's ``<page>..</page>`` span — so running the
+    per-page extractor on chunk k is byte-identical to the k-th flush of
+    the one-machine-over-the-stream run.
+
+    A stream with zero or one ``<page>`` frame returns ``[doc]``
+    unchanged."""
+    preamble: list[str] = []
+    chunks: list[str] = []
+    span: list[str] | None = None
+    for line in doc.split("\n"):
+        if span is None:
+            if _RE_PAGE_OPEN.match(line):
+                span = [line]
+            else:
+                preamble.append(line)
+        else:
+            span.append(line)
+            if _RE_PAGE_CLOSE.match(line):
+                chunks.append("\n".join(preamble + span))
+                span = None
+    if span is not None:  # unterminated final frame: keep it (extractor
+        chunks.append("\n".join(preamble + span))  # records its own diag)
+    return chunks if len(chunks) > 1 else [doc]
+
+
+def split_multipage(raw_df, pages_schema=None):
+    """1 -> N pre-split ingest step: rows whose ``html`` holds a
+    multi-page XML stream become one pages-table row per ``<page>``
+    frame, ``url`` suffixed ``#page=<ordinal>`` (1-based) so urls stay
+    unique; single-page rows pass through byte-untouched.  Undecodable
+    html also passes through — the extractor owns that diag path.
+
+    Scale note: this is a narrow Arrow-batched map (no shuffle), but one
+    input row holding a whole dump is inherent skew — feed pre-framed
+    segments (e.g. the discovery reader's chunked fetches) so a row stays
+    well under the 2 GB Arrow record-batch bound, as the pages contract
+    already requires."""
+    from ..schemas import PAGES_SCHEMA
+
+    schema = pages_schema or PAGES_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+            for url, ts, html, text, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                chunks = None
+                if html is not None:
+                    try:
+                        chunks = split_page_documents(bytes(html).decode("utf-8"))
+                    except UnicodeDecodeError:
+                        chunks = None
+                if chunks is None or len(chunks) == 1:
+                    rows = [(url, html, text)]
+                else:
+                    rows = [
+                        (f"{url}#page={k}", c.encode("utf-8"), None)
+                        for k, c in enumerate(chunks, start=1)
+                    ]
+                for u, h, t in rows:
+                    out["url"].append(u)
+                    out["warc_ts"].append(ts)
+                    out["html"].append(h)
+                    out["text"].append(t)
+                    out["lang"].append(lang)
+            yield pd.DataFrame(out, columns=list(out))
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    return raw_df.select(*cols).mapInPandas(run, schema=schema)
+
+
 def _make_extract_kernel(scanner=None):
     """Arrow-batched kernel: extraction state machine per row, and — when
     ``scanner`` is given — the dictionary mention scan over the extracted

@@ -97,51 +97,111 @@ class StageManifest:
 
     def done(self, stage: str, fingerprint: str) -> bool:
         s = self.stages.get(stage)
-        return bool(s) and s.get("fingerprint") == fingerprint and os.path.exists(
-            s.get("path", "")
+        return (
+            bool(s)
+            and s.get("fingerprint") == fingerprint
+            # legacy entries predate the state field: they were only ever
+            # written on commit, so absent state means committed
+            and s.get("state", "committed") == "committed"
+            and os.path.exists(s.get("path", ""))
         )
 
-    def commit(self, stage: str, fingerprint: str, path: str, metrics: dict):
+    def committed(self) -> list[str]:
+        return sorted(
+            k for k, v in self.stages.items()
+            if v.get("state", "committed") == "committed"
+        )
+
+    def start(self, stage: str, fingerprint: str):
+        """St4 job-queue state (wdq_fetcher.pl:110-123, wdq0b.pl:62-92):
+        mark the stage in_progress BEFORE its job runs, so a crashed run
+        is distinguishable from a never-started one; ``done`` treats an
+        in_progress entry as not-done, so resume re-runs and recommits."""
         with self._lock:
             self.stages[stage] = {
                 "fingerprint": fingerprint,
+                "state": "in_progress",
+                "started_at": time.time(),
+            }
+            self._flush()
+
+    def commit(self, stage: str, fingerprint: str, path: str, metrics: dict):
+        with self._lock:
+            started = self.stages.get(stage, {}).get("started_at")
+            self.stages[stage] = {
+                "fingerprint": fingerprint,
+                "state": "committed",
                 "path": path,
                 "metrics": metrics,
+                "started_at": started,
                 "committed_at": time.time(),
             }
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self.stages, f, indent=1, sort_keys=True)
-            os.replace(tmp, self.path)  # atomic snapshot commit
+            self._flush()
+
+    def _flush(self):
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.stages, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic snapshot commit
 
 
 def _with_lineage(df: DataFrame) -> DataFrame:
     return df.withColumn("_part_id", F.spark_partition_id())
 
 
-def _partition_metrics(spark: SparkSession, path: str) -> dict:
-    """Per-file row counts straight from the parquet footers — metadata
-    only, no Spark job.  File-level counts ARE the per-partition lineage
-    (each write task produces one file per output partition)."""
-    import glob
+def _list_stage_files(spark: SparkSession, path: str):
+    """Recursive (rel_path, bytes) parquet listing via the Hadoop FS API —
+    the same client ``preflight_input_gate`` uses, so lineage metrics work
+    on object storage, not just local disk (a local ``glob`` on an
+    s3a:// path silently lists nothing).  Returns (scheme, base, files)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    qual = fs.makeQualified(hpath)
+    scheme = qual.toUri().getScheme()
+    base = str(qual.toUri().getPath())
+    files: list[tuple[str, int]] = []
+    it = fs.listFiles(qual, True)
+    while it.hasNext():
+        st = it.next()
+        fpath = str(st.getPath().toUri().getPath())
+        if fpath.endswith(".parquet"):
+            files.append((os.path.relpath(fpath, base), int(st.getLen())))
+    return (str(scheme) if scheme is not None else None), base, files
 
+
+def _partition_metrics(spark: SparkSession, path: str) -> dict:
+    """Per-file row counts for the lineage manifest.  Listing always goes
+    through the Hadoop FS API; on a local filesystem the counts come
+    straight from the parquet footers (metadata only, no Spark job), on
+    remote stores (or for footers pyarrow cannot read, e.g. the VARIANT
+    logical type in the extract stage) one bounded Spark job groups rows
+    by the ``_part_id`` lineage column instead."""
     import pyarrow.parquet as pq
 
-    per_file = {}
-    try:
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-            rel = os.path.relpath(f, path)
-            per_file[rel] = pq.read_metadata(f).num_rows
-        return {"rows": sum(per_file.values()), "partitions": per_file}
-    except OSError:
-        # VARIANT logical type footers are unreadable by pyarrow (the
-        # extract stage) — fall back to one Spark job for that stage
-        df = spark.read.parquet(path)
-        rows = df.groupBy("_part_id").count().collect() if "_part_id" in df.columns else []
-        return {
-            "rows": sum(r["count"] for r in rows) if rows else df.count(),
-            "partitions": {str(r["_part_id"]): r["count"] for r in rows},
-        }
+    scheme, base, files = _list_stage_files(spark, path)
+    n_bytes = sum(b for _, b in files)
+    if scheme in (None, "file"):
+        try:
+            per_file = {
+                rel: pq.read_metadata(os.path.join(base, rel)).num_rows
+                for rel, _ in files
+            }
+            return {
+                "rows": sum(per_file.values()),
+                "bytes": n_bytes,
+                "partitions": per_file,
+            }
+        except OSError:
+            pass  # unreadable footer -> Spark-job fallback below
+    df = spark.read.parquet(path)
+    rows = df.groupBy("_part_id").count().collect() if "_part_id" in df.columns else []
+    return {
+        "rows": sum(r["count"] for r in rows) if rows else df.count(),
+        "bytes": n_bytes,
+        "partitions": {str(r["_part_id"]): r["count"] for r in rows},
+        "files": dict(files),
+    }
 
 
 def _write_stage(
@@ -153,10 +213,12 @@ def _write_stage(
     path: str,
     partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
+    extra_metrics_fn=None,
 ) -> DataFrame:
     """Run one stage with resume semantics; returns the materialized DF."""
     if manifest.done(stage, fingerprint):
         return spark.read.parquet(manifest.stages[stage]["path"])
+    manifest.start(stage, fingerprint)
     t0 = time.time()
     df = _with_lineage(df_fn())
     if sort_within:
@@ -166,7 +228,10 @@ def _write_stage(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     t1 = time.time()
-    manifest.commit(stage, fingerprint, path, _partition_metrics(spark, path))
+    metrics = _partition_metrics(spark, path)
+    if extra_metrics_fn is not None:
+        metrics.update(extra_metrics_fn() or {})
+    manifest.commit(stage, fingerprint, path, metrics)
     if os.environ.get("PIPELINE_TIMING"):
         print(f"[stage {stage}] write={t1 - t0:.2f}s metrics={time.time() - t1:.2f}s", flush=True)
     return spark.read.parquet(path)
@@ -223,7 +288,7 @@ def run_pipeline(
 
     def _stop_check():
         if stop_file and os.path.exists(stop_file):
-            raise GracefulStop(sorted(man.stages))
+            raise GracefulStop(man.committed())
 
     # stage 1 — FUSED extract + mention scan + parse.  Materialized once:
     # every downstream branch (triples, items, mentions) reuses the
@@ -307,14 +372,23 @@ def run_pipeline(
         # the rewrite's coalesce supplies identity mappings implicitly.
         remap = canonical_remap(all_triples).localCheckpoint(eager=False)
         cmap_holder["remap"] = remap
+        # count once (materializes the checkpoint), reuse for the
+        # broadcast size gate AND the manifest metrics
+        cmap_holder["remap_rows"] = remap.count()
         if os.environ.get("PIPELINE_TIMING"):
             print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
-        return rewrite_triples(all_triples, remap)
+        return rewrite_triples(
+            all_triples, remap, remap_count=cmap_holder["remap_rows"]
+        )
 
     canonical_triples = _write_stage(
         spark, man, "canonical", fp,
         lambda: by_pred_salted(_canonical()),
         p("canonical_triples"), partition_by=["pred"], sort_within=["subj"],
+        extra_metrics_fn=lambda: (
+            {"remap_rows": cmap_holder["remap_rows"]}
+            if "remap_rows" in cmap_holder else {}
+        ),
     )
 
     _stop_check()
