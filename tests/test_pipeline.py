@@ -152,6 +152,37 @@ def test_interrupted_stage_shows_in_progress_then_recommits(spark, tmp_path):
     assert man2.committed() == ["s1"]
 
 
+def test_lifecycle_notifications(spark, tmp_path):
+    """St9 (wdq0.pl:123-140, wdq0b.pl:148-156): started/finished
+    announcements per run and per stage; resumed (skipped) stages are
+    silent; the file sink records one line per event; a raising sink
+    never fails the run."""
+    from wikidata_dump_processor_spark.plans.notify import Notifier, file_sink
+
+    pages = datagen.gen_pages(spark, 40).localCheckpoint(eager=True)
+    out = str(tmp_path / "pipe")
+    log = str(tmp_path / "notify.log")
+    msgs = []
+    n = Notifier(sink=lambda m: (msgs.append(m), file_sink(log)(m)))
+    run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
+                 fingerprint="n1", notifier=n)
+    assert any("pipeline started" in m for m in msgs)
+    assert any("stage extract started" in m for m in msgs)
+    assert any("stage extract finished rows=40" in m for m in msgs)
+    assert any("stage nodes finished" in m for m in msgs)
+    assert msgs[-1].startswith("wdq: pipeline finished stages=")
+    assert len(open(log).read().splitlines()) == len(msgs)
+    # resume: stages all skip -> only run start/finish announced
+    msgs.clear()
+    run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
+                 fingerprint="n1", notifier=n)
+    assert not any(m.startswith("wdq: stage ") for m in msgs) and len(msgs) == 2
+    # a raising sink must not break the pipeline (fire-and-forget)
+    bad = Notifier(sink=lambda m: 1 / 0)
+    run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
+                 fingerprint="n1", notifier=bad)
+
+
 def test_preflight_gates(spark, tmp_path):
     """St6 (wdq0.pl:163-181, 278-281): completeness/size sanity gates fail
     BEFORE any stage commits."""

@@ -31,6 +31,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ..schemas import EXTRACTED_SCHEMA
 
@@ -253,14 +254,30 @@ def _make_extract_kernel(scanner=None):
     return extract_batches
 
 
+def _scan_projection():
+    """Input projection for the extract kernels.  The pre-filled ``text``
+    hint is usable ONLY when ``html`` is absent (extraction always wins —
+    the invariant is byte-identical text *from html* per url; the
+    reference has no hint column at all), so it is nulled out JVM-side
+    for html-bearing rows and never crosses the Arrow bus for them —
+    on the bench corpus that removes the second-widest column from the
+    JVM->Python transfer entirely."""
+    return [
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("html"),
+        F.when(F.col("html").isNull(), F.col("text")).alias("text"),
+        F.col("lang"),
+    ]
+
+
 def extract_text(pages_df):
     """pages(url, warc_ts, html, text, lang) -> EXTRACTED_SCHEMA DataFrame.
 
     Narrow map, Arrow-batched; html column is read only here and dropped
     immediately after (column pruning keeps it out of every later stage).
     """
-    cols = ["url", "warc_ts", "html", "text", "lang"]
-    return pages_df.select(*cols).mapInPandas(
+    return pages_df.select(*_scan_projection()).mapInPandas(
         _make_extract_kernel(), schema=EXTRACTED_SCHEMA
     )
 
@@ -278,13 +295,12 @@ def extract_and_detect(pages_df, aliases, force_automaton: bool = False):
     from .mentions import broadcast_alias_list, make_scanner
 
     bc = broadcast_alias_list(aliases)
-    cols = ["url", "warc_ts", "html", "text", "lang"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kern = _make_extract_kernel(make_scanner(bc.value, force_automaton))
         yield from kern(batches)
 
-    return pages_df.select(*cols).mapInPandas(
+    return pages_df.select(*_scan_projection()).mapInPandas(
         run, schema=EXTRACTED_WITH_MENTIONS_SCHEMA
     )
 

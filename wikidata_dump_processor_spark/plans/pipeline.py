@@ -214,11 +214,14 @@ def _write_stage(
     partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
     extra_metrics_fn=None,
+    notify=None,
 ) -> DataFrame:
     """Run one stage with resume semantics; returns the materialized DF."""
     if manifest.done(stage, fingerprint):
         return spark.read.parquet(manifest.stages[stage]["path"])
     manifest.start(stage, fingerprint)
+    if notify:
+        notify(f"stage {stage} started")
     t0 = time.time()
     df = _with_lineage(df_fn())
     if sort_within:
@@ -232,6 +235,8 @@ def _write_stage(
     if extra_metrics_fn is not None:
         metrics.update(extra_metrics_fn() or {})
     manifest.commit(stage, fingerprint, path, metrics)
+    if notify:
+        notify(f"stage {stage} finished rows={metrics.get('rows')}")
     if os.environ.get("PIPELINE_TIMING"):
         print(f"[stage {stage}] write={t1 - t0:.2f}s metrics={time.time() - t1:.2f}s", flush=True)
     return spark.read.parquet(path)
@@ -246,6 +251,7 @@ def run_pipeline(
     fingerprint: str = "",
     expected_pages: tuple | None = None,
     stop_file: str | None = None,
+    notifier=None,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -258,6 +264,11 @@ def run_pipeline(
     drains the stage group in flight (its snapshots COMMIT atomically)
     and raises ``GracefulStop``; a re-run with the same fingerprint
     resumes from the manifest (wdq1.pl:142-143, 468 SIGINT model).
+
+    ``notifier``: St9 lifecycle announcements (plans.notify.Notifier or
+    any callable) — run started/finished, per-stage started/finished,
+    graceful stop; skipped (resumed) stages announce nothing, matching
+    the reference's announce-on-run model (wdq0b.pl:148-156).
 
     Stages (each a snapshot commit, resumable):
       1. extract    — byte-identical text + parsed entity columns
@@ -285,9 +296,12 @@ def run_pipeline(
             )
     man = StageManifest(out_dir)
     p = lambda name: os.path.join(out_dir, name)
+    notify = notifier if callable(notifier) else (lambda msg: None)
+    notify(f"pipeline started fingerprint={fp}")
 
     def _stop_check():
         if stop_file and os.path.exists(stop_file):
+            notify(f"pipeline graceful stop after {man.committed()}")
             raise GracefulStop(man.committed())
 
     # stage 1 — FUSED extract + mention scan + parse.  Materialized once:
@@ -300,7 +314,7 @@ def run_pipeline(
         lambda: TR.parse_entities(
             extract_and_detect(pages, aliases), extra_cols=("mentions",)
         ),
-        p("extracted"),
+        p("extracted"), notify=notify,
     )
 
     _stop_check()
@@ -333,7 +347,7 @@ def run_pipeline(
         f_triples = pool.submit(
             _write_stage, spark, man, "triples", fp,
             lambda: by_pred_salted(TR.extract_triples(parsed)),
-            p("triples"), ["pred"], ["subj"],
+            p("triples"), ["pred"], ["subj"], notify=notify,
         )
         # items: sorted-within-partition only — repartitionByRange would
         # sample (= compute the plan twice); the consumer-facing `nodes`
@@ -341,15 +355,16 @@ def run_pipeline(
         f_items = pool.submit(
             _write_stage, spark, man, "items", fp,
             lambda: TR.items_table(parsed), p("items"), None, ["id_num"],
+            notify=notify,
         )
         f_props = pool.submit(
             _write_stage, spark, man, "props", fp,
-            lambda: TR.props_catalog(parsed), p("props"),
+            lambda: TR.props_catalog(parsed), p("props"), notify=notify,
         )
         f_linked = pool.submit(
             _write_stage, spark, man, "mentions", fp,
             lambda: link_mentions(exploded_mentions(parsed), aliases, catalog),
-            p("mentions"),
+            p("mentions"), notify=notify,
         )
         triples = f_triples.result()
         items = f_items.result()
@@ -389,6 +404,7 @@ def run_pipeline(
             {"remap_rows": cmap_holder["remap_rows"]}
             if "remap_rows" in cmap_holder else {}
         ),
+        notify=notify,
     )
 
     _stop_check()
@@ -419,9 +435,11 @@ def run_pipeline(
         )
 
     nodes = _write_stage(
-        spark, man, "nodes", fp, _nodes, p("nodes"), sort_within=["id_num"]
+        spark, man, "nodes", fp, _nodes, p("nodes"), sort_within=["id_num"],
+        notify=notify,
     )
 
+    notify(f"pipeline finished stages={man.committed()}")
     return {
         "extracted": parsed,
         "triples": triples,
