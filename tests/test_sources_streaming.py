@@ -61,6 +61,42 @@ def test_incremental_stream_processes_only_new_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == n2
 
 
+def test_incremental_stream_pre_split_multipage(spark, tmp_path):
+    """pre_split=True: a streamed file whose rows hold multi-page dump
+    streams yields one extracted row per <page> frame."""
+    import pandas as pd
+
+    from wikidata_dump_processor_spark.operators.text_extract import extract_text
+    from wikidata_dump_processor_spark.schemas import PAGES_SCHEMA
+
+    idxs = [1, 2, 3, 4]
+    inner = []
+    for i in idxs:
+        inner += datagen.page_xml(i).split("\n")[1:-1]
+    stream_doc = "\n".join(["<mediawiki>"] + inner + ["</mediawiki>"])
+    src, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [{
+                "url": "https://dumps.example/dump-0",
+                "warc_ts": datagen.page_row(0)["warc_ts"],
+                "html": stream_doc.encode(),
+                "text": None,
+                "lang": "en",
+            }]
+        ),
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    incremental_pages_stream(
+        spark, src, ckpt, out, transform=extract_text, pre_split=True
+    )
+    rows = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert len(rows) == len(idxs)
+    for k, i in enumerate(idxs, start=1):
+        assert rows[f"https://dumps.example/dump-0#page={k}"] == datagen.expected_text(i)
+
+
 def test_id_functions(spark):
     df = spark.createDataFrame(
         [("Q42",), ("P31",), ("L99",), ("banana",)], "id string"

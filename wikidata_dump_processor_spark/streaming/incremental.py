@@ -27,6 +27,7 @@ def incremental_pages_stream(
     output_dir: str,
     transform=None,
     max_file_age: str | None = None,
+    pre_split: bool = False,
 ):
     """Watch ``input_dir`` for new pages parquet files; apply ``transform``
     (default: triple extraction) to NEW files only; append to
@@ -39,14 +40,22 @@ def incremental_pages_stream(
     ``max_file_age`` (e.g. ``"4h"``) is the St2 freshness gate
     (wdq_fetcher.pl:35, 80-85: only inputs newer than the window are
     considered) — mapped to the file source's ``maxFileAge`` option.
+
+    ``pre_split=True``: arriving rows hold raw MULTI-page dump streams
+    (the reference's fetch output, wkt1.pl:153-295) — run the 1->N
+    ``split_multipage`` step before the transform so each ``<page>``
+    frame becomes its own row.  Narrow map: composes with the streaming
+    micro-batches without extra state.
     """
-    from ..operators.text_extract import extract_text
+    from ..operators.text_extract import extract_text, split_multipage
     from ..operators.triples import extract_triples, parse_entities
 
     reader = spark.readStream.schema(PAGES_SCHEMA).option("maxFilesPerTrigger", 64)
     if max_file_age is not None:
         reader = reader.option("maxFileAge", max_file_age)
     stream = reader.parquet(input_dir)
+    if pre_split:
+        stream = split_multipage(stream)
     out = (transform or (lambda df: extract_triples(parse_entities(extract_text(df)))))(
         stream
     )
