@@ -44,9 +44,12 @@ def test_manifest_lineage_metrics(out):
     assert set(m) >= {"extract", "triples", "items", "props", "mentions", "canonical", "nodes"}
     for stage, entry in m.items():
         assert entry["metrics"]["rows"] >= 0
+        assert entry["metrics"]["bytes"] > 0  # Hadoop-FS listing sizes
         assert entry["fingerprint"] == f"n={N}"
+        assert entry["state"] == "committed" and entry["started_at"] is not None
         # per-partition row counts present (north_rule lineage+metrics)
         assert isinstance(entry["metrics"]["partitions"], dict)
+    assert m["canonical"]["metrics"]["remap_rows"] >= 0  # cached CC count
 
 
 def test_resume_skips_completed_stages(spark, out, result):
@@ -150,6 +153,46 @@ def test_interrupted_stage_shows_in_progress_then_recommits(spark, tmp_path):
     assert m2["s1"]["metrics"]["rows"] == 10
     assert m2["s1"]["started_at"] >= t_started
     assert man2.committed() == ["s1"]
+
+
+def test_pipeline_pre_split_multipage_input(spark, tmp_path):
+    """run_pipeline(pre_split=True): a corpus of raw multi-page dump rows
+    yields the same triples as the equivalent one-page-per-row corpus."""
+    import pandas as pd
+
+    from wikidata_dump_processor_spark.schemas import PAGES_SCHEMA
+
+    idxs = list(range(1, 31))
+    rows, chunk = [], []
+    for k, i in enumerate(idxs):
+        chunk += datagen.page_xml(i).split("\n")[1:-1]
+        if (k + 1) % 10 == 0:  # 3 stream rows of 10 pages each
+            rows.append({
+                "url": f"https://dumps.example/part-{len(rows)}",
+                "warc_ts": datagen.page_row(0)["warc_ts"],
+                "html": "\n".join(["<mediawiki>"] + chunk + ["</mediawiki>"]).encode(),
+                "text": None,
+                "lang": "en",
+            })
+            chunk = []
+    raw = spark.createDataFrame(pd.DataFrame(rows), PAGES_SCHEMA)
+    res = run_pipeline(
+        spark, raw, datagen.gen_aliases(spark), str(tmp_path / "pipe"),
+        fingerprint="ms1", pre_split=True,
+    )
+    got = res["extracted"].count()
+    assert got == len(idxs)
+    # triples equal the per-page-corpus derivation for the same indexes
+    per_page = datagen.gen_pages(spark, 31).filter(F.col("url").rlike("Page_([1-9]|[12][0-9]|30)$"))
+    from wikidata_dump_processor_spark.operators.text_extract import extract_text
+    from wikidata_dump_processor_spark.operators.triples import extract_triples, parse_entities
+
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples(parse_entities(extract_text(per_page))).collect()
+    }
+    have = {(r.subj, r.pred, r.obj) for r in res["triples"].collect()}
+    assert have == want
 
 
 def test_lifecycle_notifications(spark, tmp_path):

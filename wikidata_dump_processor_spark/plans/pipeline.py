@@ -252,6 +252,7 @@ def run_pipeline(
     expected_pages: tuple | None = None,
     stop_file: str | None = None,
     notifier=None,
+    pre_split: bool = False,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -270,6 +271,11 @@ def run_pipeline(
     graceful stop; skipped (resumed) stages announce nothing, matching
     the reference's announce-on-run model (wdq0b.pl:148-156).
 
+    ``pre_split=True``: ``pages`` rows hold raw MULTI-page dump streams
+    (the reference's fetch output) — run the 1->N ``split_multipage``
+    step ahead of stage 1, fused into the same job (narrow map, no extra
+    snapshot; the extract stage's manifest fingerprint covers it).
+
     Stages (each a snapshot commit, resumable):
       1. extract    — byte-identical text + parsed entity columns
       2. triples    — filter-bank claim triples + raw-record mentions
@@ -287,6 +293,10 @@ def run_pipeline(
         PDS.pm:136-150) served by min/max pruning on sorted parquet.
     """
     fp = fingerprint or "default"
+    if pre_split:
+        from ..operators.text_extract import split_multipage
+
+        pages = split_multipage(pages)
     if expected_pages is not None:
         lo_n, hi_n = expected_pages
         n_in = pages.count()
