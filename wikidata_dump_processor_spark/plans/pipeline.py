@@ -382,72 +382,92 @@ def run_pipeline(
         linked = f_linked.result()
 
     _stop_check()
-    cmap_holder: dict = {}
 
     def _all_triples():
         return triples.select("subj", "pred", "obj", "src_url").unionByName(
             mention_triples(linked.select("url", "qid"))
         )
 
-    def _canonical():
+    # NON-identity remap only (bounded by merges, not subjects): the full
+    # canonical map would cost a distinct over every subject — the
+    # rewrite's coalesce supplies identity mappings implicitly.  Computed
+    # once up front (NOT inside a stage fn) so the canonical write and
+    # the nodes derivation — which share no data dependency beyond the
+    # remap — can run concurrently below.  Skipped entirely on resume.
+    remap, n_remap = None, None
+    if not man.done("canonical", fp):
         t0 = time.time()
-        all_triples = _all_triples()
-        # NON-identity remap only (bounded by merges, not subjects): the
-        # full canonical map would cost a distinct over every subject —
-        # the rewrite's coalesce supplies identity mappings implicitly.
-        remap = canonical_remap(all_triples).localCheckpoint(eager=False)
-        cmap_holder["remap"] = remap
+        remap = canonical_remap(_all_triples()).localCheckpoint(eager=False)
         # count once (materializes the checkpoint), reuse for the
         # broadcast size gate AND the manifest metrics
-        cmap_holder["remap_rows"] = remap.count()
+        n_remap = remap.count()
         if os.environ.get("PIPELINE_TIMING"):
             print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
-        return rewrite_triples(
-            all_triples, remap, remap_count=cmap_holder["remap_rows"]
+
+    def _canonical():
+        return by_pred_salted(
+            rewrite_triples(_all_triples(), remap, remap_count=n_remap)
         )
 
-    canonical_triples = _write_stage(
-        spark, man, "canonical", fp,
-        lambda: by_pred_salted(_canonical()),
-        p("canonical_triples"), partition_by=["pred"], sort_within=["subj"],
+    def _nodes_from(canonical_df):
+        def go():
+            base = items.drop("_part_id")
+            if remap is not None:
+                # canonical node set = items appearing as subjects, minus
+                # the merge losers.  distinct() BEFORE the semi-join
+                # matters: the partial (map-side) aggregation collapses
+                # the subject column to ~#items rows before the exchange;
+                # the anti-join against the merge-bounded remap stays
+                # unhinted (planner broadcasts it when small, same
+                # discipline as rewrite_triples).
+                subj_ids = _all_triples().select(F.col("subj").alias("id")).distinct()
+                merged = base.join(subj_ids, "id", "left_semi").join(
+                    remap.select("id"), "id", "left_anti"
+                )
+            else:  # resume path: canonical stage was skipped, use its output
+                cmap_ids = canonical_df.select(F.col("subj").alias("id")).distinct()
+                merged = base.join(cmap_ids, "id", "left_semi")
+            # materialize once: repartitionByRange samples its input to
+            # pick bounds, which would otherwise re-run the joins twice
+            merged = merged.localCheckpoint(eager=False)
+            return merged.repartitionByRange(max(slots, 1), "id_num")
+
+        return go
+
+    canonical_kw = dict(
+        partition_by=["pred"],
+        sort_within=["subj"],
         extra_metrics_fn=lambda: (
-            {"remap_rows": cmap_holder["remap_rows"]}
-            if "remap_rows" in cmap_holder else {}
+            {"remap_rows": n_remap} if n_remap is not None else {}
         ),
         notify=notify,
     )
-
-    _stop_check()
-
-    def _nodes():
-        remap = cmap_holder.get("remap")
-        base = items.drop("_part_id")
-        if remap is not None:
-            # canonical node set = items appearing as subjects, minus the
-            # merge losers.  distinct() BEFORE the semi-join matters: the
-            # partial (map-side) aggregation collapses the 9M-row subject
-            # column to ~#items rows before the exchange; the anti-join
-            # against the merge-bounded remap stays unhinted (planner
-            # broadcasts it when small, same discipline as rewrite_triples).
-            subj_ids = _all_triples().select(F.col("subj").alias("id")).distinct()
-            losers = remap.select("id")
-            merged = base.join(subj_ids, "id", "left_semi").join(
-                losers, "id", "left_anti"
+    if remap is not None and slots >= 4:
+        # The canonical rewrite+write was the pipeline's serial tail
+        # (~11 s alone at 8 cores on 800k pages while nodes waited
+        # ~4 s more); overlapping the two independent writes removes it.
+        with ThreadPoolExecutor(max_workers=2) as pool2:
+            f_cano = pool2.submit(
+                _write_stage, spark, man, "canonical", fp,
+                _canonical, p("canonical_triples"), **canonical_kw,
             )
-        else:  # resume path: canonical stage was skipped, read its output
-            cmap_ids = canonical_triples.select(F.col("subj").alias("id")).distinct()
-            merged = base.join(cmap_ids, "id", "left_semi")
-        # materialize once: repartitionByRange samples its input to pick
-        # bounds, which would otherwise re-run the joins twice
-        merged = merged.localCheckpoint(eager=False)
-        return merged.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 1), "id_num"
+            f_nodes = pool2.submit(
+                _write_stage, spark, man, "nodes", fp,
+                _nodes_from(None), p("nodes"), sort_within=["id_num"],
+                notify=notify,
+            )
+            canonical_triples = f_cano.result()
+            nodes = f_nodes.result()
+    else:
+        canonical_triples = _write_stage(
+            spark, man, "canonical", fp,
+            _canonical, p("canonical_triples"), **canonical_kw,
         )
-
-    nodes = _write_stage(
-        spark, man, "nodes", fp, _nodes, p("nodes"), sort_within=["id_num"],
-        notify=notify,
-    )
+        _stop_check()
+        nodes = _write_stage(
+            spark, man, "nodes", fp, _nodes_from(canonical_triples),
+            p("nodes"), sort_within=["id_num"], notify=notify,
+        )
 
     notify(f"pipeline finished stages={man.committed()}")
     return {
