@@ -377,9 +377,36 @@ def run_pipeline(
             p("mentions"), notify=notify,
         )
         triples = f_triples.result()
+
+        # NON-identity remap only (bounded by merges, not subjects): the
+        # full canonical map would cost a distinct over every subject —
+        # the rewrite's coalesce supplies identity mappings implicitly.
+        # Identifier edges live exclusively on the AUTHCTRL predicates of
+        # the CLAIM triples (mention triples carry pred='Pmention' and
+        # contribute no edge), so the CC loop needs only the committed
+        # triples snapshot — submitted into the same pool, it overlaps
+        # the items/mentions stages instead of sitting on the critical
+        # path, and its authctrl filter partition-prunes the pred-
+        # partitioned snapshot.  Skipped entirely on resume.
+        def _remap_job():
+            t0 = time.time()
+            r = canonical_remap(
+                triples.select("subj", "pred", "obj", "src_url")
+            ).localCheckpoint(eager=False)
+            # count once (materializes the checkpoint), reuse for the
+            # broadcast size gate AND the manifest metrics
+            n = r.count()
+            if os.environ.get("PIPELINE_TIMING"):
+                print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
+            return r, n
+
+        f_remap = (
+            pool.submit(_remap_job) if not man.done("canonical", fp) else None
+        )
         items = f_items.result()
         props = f_props.result()
         linked = f_linked.result()
+        remap, n_remap = f_remap.result() if f_remap is not None else (None, None)
 
     _stop_check()
 
@@ -387,22 +414,6 @@ def run_pipeline(
         return triples.select("subj", "pred", "obj", "src_url").unionByName(
             mention_triples(linked.select("url", "qid"))
         )
-
-    # NON-identity remap only (bounded by merges, not subjects): the full
-    # canonical map would cost a distinct over every subject — the
-    # rewrite's coalesce supplies identity mappings implicitly.  Computed
-    # once up front (NOT inside a stage fn) so the canonical write and
-    # the nodes derivation — which share no data dependency beyond the
-    # remap — can run concurrently below.  Skipped entirely on resume.
-    remap, n_remap = None, None
-    if not man.done("canonical", fp):
-        t0 = time.time()
-        remap = canonical_remap(_all_triples()).localCheckpoint(eager=False)
-        # count once (materializes the checkpoint), reuse for the
-        # broadcast size gate AND the manifest metrics
-        n_remap = remap.count()
-        if os.environ.get("PIPELINE_TIMING"):
-            print(f"[canonical] cc_loop={time.time() - t0:.2f}s", flush=True)
 
     def _canonical():
         return by_pred_salted(
