@@ -345,3 +345,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_pipeline_nodes_bucketed_point_lookup(result, spark, out):
+    """The pipeline's own `nodes` output ships the PDS-role bucketed
+    layout (PDS.pm:136-150): a point-lookup join on id_num plans with NO
+    Exchange on the nodes side — only the probe side shuffles to the
+    bucket count."""
+    man = StageManifest(out)
+    tbl = man.stages["nodes"]["metrics"]["table"]
+    assert spark.catalog.tableExists(tbl)
+    assert man.stages["nodes"]["metrics"]["buckets"] == 64
+    ids = spark.range(0, 50).select(F.col("id").alias("id_num"))
+    j = spark.table(tbl).hint("merge").join(ids, "id_num")
+    j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # exactly one hash exchange: the probe (ids) side; nodes reads its
+    # bucketed files in place
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_nodes_table_reregistered_on_resume(spark, tmp_path):
+    """A fresh session loses the in-memory catalog's table metadata; the
+    resume path re-registers the bucketed nodes layout via DDL from the
+    manifest, restoring exchange-free planning."""
+    out = str(tmp_path / "kg")
+    pages = datagen.gen_pages(spark, 40).localCheckpoint(eager=True)
+    al, cat = datagen.gen_aliases(spark), datagen.gen_entity_catalog(spark)
+    res = run_pipeline(spark, pages, al, out, cat, fingerprint="f")
+    tbl = res["manifest"].stages["nodes"]["metrics"]["table"]
+    n = res["nodes"].count()
+    # external table: DROP removes metadata only, files stay
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    res2 = run_pipeline(spark, pages, al, out, cat, fingerprint="f")
+    assert spark.catalog.tableExists(tbl)
+    assert res2["nodes"].count() == n
+    plan = (
+        spark.table(tbl).hint("merge")
+        .join(spark.range(5).select(F.col("id").alias("id_num")), "id_num")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

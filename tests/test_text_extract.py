@@ -124,6 +124,70 @@ def test_split_namespace_lines_accumulate():
     assert any(n["ns_id"] == "4" for n in ns1)
 
 
+def test_split_page_close_inside_text_body():
+    # state 3 treats a literal </page> line as body (wkt1.pl:239-246);
+    # the splitter must not cut the frame there — it runs the same state
+    # machine, so only a state-1 </page> flushes.
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        split_page_documents,
+    )
+
+    body_doc = PAGE.replace(
+        '<text xml:space="preserve">line one\nline two\nlast line</text>',
+        '<text xml:space="preserve">a\n</page>\nb\nlast</text>',
+    )
+    # two-page stream so splitting actually engages
+    stream = "\n".join(
+        body_doc.split("\n")[:-1] + datagen.page_xml(2).split("\n")[1:]
+    )
+    chunks = split_page_documents(stream)
+    assert len(chunks) == 2
+    assert extract_page(chunks[0])["text"] == "a\n</page>\nb\nlast"
+    assert extract_page(chunks[1])["text"] == datagen.expected_text(2)
+
+
+def test_split_preamble_bounded():
+    # chunk k carries ONLY namespace lines from state 0 — a big non-ns
+    # preamble is not duplicated into every chunk (total bytes grow
+    # O(pages + preamble), not O(pages × preamble))
+    from wikidata_dump_processor_spark.operators.text_extract import (
+        split_page_documents,
+    )
+
+    junk = ["  <siteinfo>JUNK-%04d</siteinfo>" % i for i in range(1000)]
+    ns_row = '  <namespace key="0" case="first-letter">Main</namespace>'
+    lines = _multipage_stream(list(range(1, 9))).split("\n")
+    stream = "\n".join(lines[:1] + junk + [ns_row] + lines[1:])
+    chunks = split_page_documents(stream)
+    assert len(chunks) == 8
+    for c in chunks:
+        assert "JUNK-" not in c  # non-ns preamble dropped from every chunk
+        assert '<namespace key="0"' in c  # ns catalog still carried
+    assert sum(len(c) for c in chunks) < len(stream) + sum(map(len, chunks[:1]))
+
+
+def test_html_undecodable_with_text_hint(spark):
+    """An html-bearing row whose bytes fail utf-8 decode emits text=None
+    + a utf8 diag — the pre-filled text hint is never used for html rows
+    (invariant enforced in the kernel, not just the JVM projection)."""
+    import pandas as pd
+    from wikidata_dump_processor_spark.schemas import PAGES_SCHEMA
+
+    base = datagen.page_row(1)
+    rows = [
+        {**base, "url": "u://bad-utf8", "html": b"\xff\xfe<page>", "text": "HINT"},
+        {**base, "url": "u://no-flush", "html": b"<mediawiki>\n</mediawiki>", "text": "HINT"},
+        {**base, "url": "u://no-html", "html": None, "text": "HINT"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), PAGES_SCHEMA)
+    got = {r.url: r for r in extract_text(df).collect()}
+    assert got["u://bad-utf8"].text is None
+    assert got["u://bad-utf8"].diag.startswith("utf8:")
+    assert got["u://no-flush"].text is None
+    assert got["u://no-flush"].diag == "no <page> flushed"
+    assert got["u://no-html"].text == "HINT" and got["u://no-html"].diag is None
+
+
 def test_split_multipage_operator(spark):
     """1->N splitter feeding the existing extractor: an N-page stream row
     yields N extracted rows byte-identical to per-page extraction."""

@@ -122,31 +122,57 @@ def split_page_documents(doc: str) -> list[str]:
 
     The reference runs a single state machine over a whole dump stream
     containing many ``<page>`` frames (wkt1.pl:153-295); the pages table
-    is one-page-per-row, so a raw dump must be pre-split.  Chunk k =
-    every state-0 line seen so far (the stream preamble and any
-    namespace-catalog rows between pages, which accumulate in the
-    reference's %ns) + page k's ``<page>..</page>`` span — so running the
-    per-page extractor on chunk k is byte-identical to the k-th flush of
-    the one-machine-over-the-stream run.
+    is one-page-per-row, so a raw dump must be pre-split.  The split
+    runs the SAME state transitions as ``extract_page``, so a frame is
+    cut only where the reference would flush — a ``</page>`` line in
+    state 1 (wkt1.pl:190-198).  A literal ``</page>`` line inside a
+    multi-line text body (state 3) or inside a revision (state 2) is
+    body/ignored, exactly like the reference.
+
+    Chunk k = the namespace-catalog lines seen in state 0 so far + page
+    k's ``<page>..</page>`` span.  Namespace rows are the ONLY state-0
+    lines the extractor consumes (wkt1.pl:176-180; they accumulate in
+    the reference's %ns), so dropping the rest of the preamble keeps
+    per-chunk extraction byte-identical to the k-th flush of the
+    one-machine-over-the-stream run while bounding the carried bytes to
+    O(pages × ns_rows) instead of O(pages × preamble).
 
     A stream with zero or one ``<page>`` frame returns ``[doc]``
     unchanged."""
-    preamble: list[str] = []
+    ns_lines: list[str] = []
     chunks: list[str] = []
-    span: list[str] | None = None
+    span: list[str] = []
+    state = 0
     for line in doc.split("\n"):
-        if span is None:
+        if state == 0:
             if _RE_PAGE_OPEN.match(line):
+                state = 1
                 span = [line]
-            else:
-                preamble.append(line)
-        else:
+            elif _RE_NAMESPACE.match(line):
+                ns_lines.append(line)
+        elif state == 1:
             span.append(line)
             if _RE_PAGE_CLOSE.match(line):
-                chunks.append("\n".join(preamble + span))
-                span = None
-    if span is not None:  # unterminated final frame: keep it (extractor
-        chunks.append("\n".join(preamble + span))  # records its own diag)
+                chunks.append("\n".join(ns_lines + span))
+                span = []
+                state = 0
+            elif _RE_REVISION_OPEN.match(line):
+                state = 2
+        elif state == 2:
+            span.append(line)
+            if _RE_REVISION_CLOSE.match(line) or _RE_TEXT_EMPTY.match(line):
+                state = 1
+            else:
+                m = _RE_TEXT_OPEN.match(line)
+                # open+close on one line keeps state 2 (wkt1.pl:224)
+                if m and "</text>" not in m.group(1):
+                    state = 3
+        elif state == 3:
+            span.append(line)
+            if _RE_TEXT_CLOSE_EOL.match(line):
+                state = 2
+    if state != 0:  # unterminated final frame: keep it (extractor
+        chunks.append("\n".join(ns_lines + span))  # records its own diag)
     return chunks if len(chunks) > 1 else [doc]
 
 
@@ -221,8 +247,14 @@ def _make_extract_kernel(scanner=None):
                 title = ns = pid = rid = rsha = None
                 diag = None
                 nslist: list = []
-                text = pre_text if isinstance(pre_text, str) else None
                 if html is not None:
+                    # INVARIANT (enforced here AND by _scan_projection's
+                    # JVM-side null): extraction is the ONLY text source
+                    # for an html-bearing row — byte-identical text *from
+                    # html* per url; the reference has no hint column.  A
+                    # decode/flush failure emits text=None + diag, never
+                    # the pre-filled hint.
+                    text = None
                     try:
                         doc = bytes(html).decode("utf-8")
                     except UnicodeDecodeError as e:  # skip-and-log (wdq1.pl:497-503)
@@ -232,14 +264,13 @@ def _make_extract_kernel(scanner=None):
                         title, ns, pid = fr.get("title"), fr.get("ns"), fr.get("id")
                         rid, rsha = fr.get("rev_id"), fr.get("rev_sha1")
                         nslist = fr.get("namespaces") or []
-                        extracted = fr.get("text")
-                        if extracted is None:
-                            diag = diag or "no <page> flushed"
-                        # extraction wins over a pre-filled text column: the
-                        # invariant is byte-identical text *from html* per url
-                        text = extracted if extracted is not None else text
-                elif text is None:
-                    diag = "no html and no text"
+                        text = fr.get("text")
+                        if text is None:
+                            diag = "no <page> flushed"
+                else:
+                    text = pre_text if isinstance(pre_text, str) else None
+                    if text is None:
+                        diag = "no html and no text"
                 for k, v in (("title", title), ("page_ns", ns), ("page_id", pid),
                              ("rev_id", rid), ("rev_sha1", rsha), ("text", text),
                              ("diag", diag), ("namespaces", nslist)):
@@ -261,7 +292,10 @@ def _scan_projection():
     reference has no hint column at all), so it is nulled out JVM-side
     for html-bearing rows and never crosses the Arrow bus for them —
     on the bench corpus that removes the second-widest column from the
-    JVM->Python transfer entirely."""
+    JVM->Python transfer entirely.  The kernel enforces the same
+    invariant independently (html rows whose decode/flush fails emit
+    text=None + diag, never the hint), so the projection is purely a
+    transfer optimization, not a semantic dependency."""
     return [
         F.col("url"),
         F.col("warc_ts"),

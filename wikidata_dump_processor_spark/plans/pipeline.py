@@ -21,6 +21,7 @@ fingerprint chain stage -> input.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import threading
@@ -242,6 +243,72 @@ def _write_stage(
     return spark.read.parquet(path)
 
 
+def _ensure_bucketed_table(
+    spark: SparkSession, table: str, path: str,
+    buckets: int, bucket_col: str,
+) -> None:
+    """Re-register an already-written bucketed layout with the session
+    catalog (resume path / new session: the default in-memory catalog
+    loses table metadata between sessions, but the bucket ids are encoded
+    in the parquet file names, so a CREATE TABLE with the matching
+    CLUSTERED BY spec restores exchange-free join planning — the same
+    re-attach Iceberg does from its own metadata)."""
+    if spark.catalog.tableExists(table):
+        return
+    fields = spark.read.parquet(path).schema.fields
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
+def _write_stage_bucketed(
+    spark: SparkSession,
+    manifest: StageManifest,
+    stage: str,
+    fingerprint: str,
+    df_fn,
+    path: str,
+    table: str,
+    buckets: int = 64,
+    bucket_col: str = "id_num",
+    notify=None,
+) -> DataFrame:
+    """``_write_stage`` with the PDS-role bucketed layout (SURVEY.md §1.4,
+    PDS.pm:136-150): hash-bucketed + sorted on ``bucket_col``, registered
+    in the catalog so a point-lookup or co-located join plans with NO
+    Exchange on this side.  The pre-write ``repartition(buckets, col)``
+    uses the same Murmur3 hash as the bucket spec, so each task holds
+    exactly one bucket -> one file per bucket, no small-file blowup."""
+    if manifest.done(stage, fingerprint):
+        _ensure_bucketed_table(
+            spark, table, manifest.stages[stage]["path"], buckets, bucket_col
+        )
+        return spark.table(table)
+    manifest.start(stage, fingerprint)
+    if notify:
+        notify(f"stage {stage} started")
+    # lineage AFTER the bucket shuffle so _part_id is the writing bucket
+    df = _with_lineage(df_fn().repartition(buckets, F.col(bucket_col)))
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    metrics = _partition_metrics(spark, path)
+    metrics["buckets"] = buckets
+    metrics["table"] = table
+    manifest.commit(stage, fingerprint, path, metrics)
+    if notify:
+        notify(f"stage {stage} finished rows={metrics.get('rows')}")
+    return spark.table(table)
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -253,6 +320,7 @@ def run_pipeline(
     stop_file: str | None = None,
     notifier=None,
     pre_split: bool = False,
+    node_buckets: int = 64,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -288,9 +356,15 @@ def run_pipeline(
     Layout choices for 100 TB (SURVEY.md §7.1 'Materialize'):
       * triples partitioned by ``pred`` (the reference's P####.tsv model) —
         predicate-pruned scans for per-property queries;
-      * nodes/items repartitioned by range on ``id_num`` and sorted within
-        partitions — the PDS direct-address index role (wdq2.pl:168,
-        PDS.pm:136-150) served by min/max pruning on sorted parquet.
+      * nodes written BUCKETED (``node_buckets``, hash on ``id_num``) and
+        sorted within each bucket — the PDS direct-address index role
+        (wdq2.pl:168, PDS.pm:136-150): a point lookup prunes to one
+        bucket file's sorted run, and any join on ``id_num`` against a
+        same-bucketed table plans with NO Exchange of the nodes side.
+        ``node_buckets`` is a layout contract (co-located joins require
+        both tables to share it): 64 fits the test/bench scales; a
+        100 TB deployment picks its own (e.g. 4096) once and keeps it.
+      * items sorted within partitions on ``id_num`` (min/max pruning).
     """
     fp = fingerprint or "default"
     if pre_split:
@@ -438,10 +512,7 @@ def run_pipeline(
             else:  # resume path: canonical stage was skipped, use its output
                 cmap_ids = canonical_df.select(F.col("subj").alias("id")).distinct()
                 merged = base.join(cmap_ids, "id", "left_semi")
-            # materialize once: repartitionByRange samples its input to
-            # pick bounds, which would otherwise re-run the joins twice
-            merged = merged.localCheckpoint(eager=False)
-            return merged.repartitionByRange(max(slots, 1), "id_num")
+            return merged
 
         return go
 
@@ -451,6 +522,16 @@ def run_pipeline(
         extra_metrics_fn=lambda: (
             {"remap_rows": n_remap} if n_remap is not None else {}
         ),
+        notify=notify,
+    )
+    # catalog identity for the bucketed nodes table: stable per out_dir
+    # (re-runs of the same pipeline overwrite it; concurrent pipelines in
+    # one session get distinct names)
+    nodes_table = "kg_nodes_" + hashlib.md5(
+        os.path.abspath(out_dir).encode()
+    ).hexdigest()[:10]
+    nodes_kw = dict(
+        table=nodes_table, buckets=node_buckets, bucket_col="id_num",
         notify=notify,
     )
     if remap is not None and slots >= 4:
@@ -463,9 +544,8 @@ def run_pipeline(
                 _canonical, p("canonical_triples"), **canonical_kw,
             )
             f_nodes = pool2.submit(
-                _write_stage, spark, man, "nodes", fp,
-                _nodes_from(None), p("nodes"), sort_within=["id_num"],
-                notify=notify,
+                _write_stage_bucketed, spark, man, "nodes", fp,
+                _nodes_from(None), p("nodes"), **nodes_kw,
             )
             canonical_triples = f_cano.result()
             nodes = f_nodes.result()
@@ -475,9 +555,9 @@ def run_pipeline(
             _canonical, p("canonical_triples"), **canonical_kw,
         )
         _stop_check()
-        nodes = _write_stage(
+        nodes = _write_stage_bucketed(
             spark, man, "nodes", fp, _nodes_from(canonical_triples),
-            p("nodes"), sort_within=["id_num"], notify=notify,
+            p("nodes"), **nodes_kw,
         )
 
     notify(f"pipeline finished stages={man.committed()}")
