@@ -267,7 +267,12 @@ def test_graceful_stop_and_resume(spark, tmp_path):
                      fingerprint="g1", stop_file=stop)
     assert "extract" in ei.value.completed  # stage 1 committed before stop
     man = json.load(open(os.path.join(out, MANIFEST)))
-    assert "extract" in man and "canonical" not in man
+    assert man["extract"]["state"] == "committed"
+    # St4: never-started stages read `pending` after a mid-run stop —
+    # distinguishable from a crashed `in_progress` stage
+    assert man["canonical"]["state"] == "pending"
+    assert man["nodes"]["state"] == "pending"
+    assert man["canonical"]["planned_at"] is not None
     os.remove(stop)
     res = run_pipeline(spark, pages, datagen.gen_aliases(spark), out,
                        fingerprint="g1")

@@ -148,8 +148,9 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_decoder_feature_gate(monkeypatch):
-    """The decode kernel picks PIL when importable, else the deterministic
-    stub; MULTIMODAL_FORCE_STUB=1 pins the stub either way."""
+    """Tier order: PIL when importable, else the stdlib tier (real PNG
+    decode, stub otherwise); MULTIMODAL_FORCE_STUB=1 pins the pure stub
+    either way."""
     monkeypatch.setenv("MULTIMODAL_FORCE_STUB", "1")
     assert M._pick_decoder() is M._decode_image_stub
     monkeypatch.delenv("MULTIMODAL_FORCE_STUB")
@@ -157,8 +158,8 @@ def test_multimodal_decoder_feature_gate(monkeypatch):
         import PIL.Image  # noqa: F401
 
         assert M._pick_decoder() is M._decode_image_pil
-    except ImportError:  # this container: no PIL -> stub fallback
-        assert M._pick_decoder() is M._decode_image_stub
+    except ImportError:  # this container: no PIL -> stdlib tier
+        assert M._pick_decoder() is M._decode_image_stdlib
 
 
 def test_multimodal_pil_kernel_real_decode(spark):
@@ -226,3 +227,123 @@ def test_bpe_ish_token_count(docs, spark):
     got = [r.n for r in df.select(X.bpe_ish_token_count(F.col("t")).alias("n")).collect()]
     # "hello , world !" = 4; "abc 123 def" = 3
     assert got == [1, 4, 3, 0]
+
+
+def test_rank_window_top3_per_source_golden(spark):
+    """Partitioned rank/top-k (row_number window) vs a naive pure-Python
+    re-derivation — pytest-only coverage for the retired w1 driver query
+    (see queries_catalog.py's 50-query-cap note)."""
+    from wikidata_dump_processor_spark.queries_catalog import (
+        w1_top3_docs_per_source,
+    )
+
+    got = sorted(
+        tuple(r) for r in
+        w1_top3_docs_per_source(spark, "/root/testdata/sf0.001").collect()
+    )
+    table = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by_src = {}
+    for r in table.select("source", "doc_id", "n_chars").collect():
+        by_src.setdefault(r.source, []).append((r.doc_id, r.n_chars))
+    expected = sorted(
+        (src, did, nc, rn)
+        for src, lst in by_src.items()
+        for rn, (did, nc) in enumerate(
+            sorted(lst, key=lambda t: (-t[1], t[0]))[:3], start=1
+        )
+    )
+    assert got == expected and len(expected) >= 3
+
+
+def test_ivf_recall_at_10_quality_gate(spark, embeddings):
+    """ANN *quality* gate: recall@10 of ivf_topk vs brute_force_topk on
+    the synthetic 64-dim vectors (near-isotropic — IVF's worst case: with
+    no cluster structure recall tracks the probed corpus fraction).
+
+    Measured curve at n_cells=16, k=10, 20 queries (lloyd_steps=1;
+    3 Lloyd steps move each point by <0.02):
+        n_probe=2 -> 0.765   n_probe=4 (default) -> 0.825
+        n_probe=6 -> 0.890   n_probe=8 -> 0.910
+    Gate: >=0.90 at the documented high-recall operating point
+    (n_probe=8, 50% probe) and >=0.75 at the default (n_probe=4, 25%
+    probe); real corpora with cluster structure sit well above this
+    floor at the same probe fraction."""
+    queries = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in S.brute_force_topk(embeddings, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(n_probe):
+        approx = {}
+        for r in S.ivf_topk(
+            embeddings, queries, k=10, n_cells=16, n_probe=n_probe
+        ).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    r_default, r_high = recall(4), recall(8)
+    assert r_high >= 0.90, f"recall@10 at n_probe=8: {r_high:.3f}"
+    assert r_default >= 0.75, f"recall@10 at default n_probe=4: {r_default:.3f}"
+    assert r_high >= r_default  # probing more can only help
+
+
+def _encode_png(width, height, rgb_fn, filt=0):
+    """Minimal stdlib PNG encoder (truecolor 8-bit, one filter byte per
+    row) — lets the decode tier be tested end-to-end with a REAL image
+    format in a container with no image libraries."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for y in range(height):
+        row = bytes(b for x in range(width) for b in rgb_fn(x, y))
+        if filt == 2 and y > 0:  # Up filter: delta vs previous row
+            row = bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        raw += bytes([filt if (filt != 2 or y > 0) else 0]) + row
+        prev = bytes(b for x in range(width) for b in rgb_fn(x, y))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_real_decode_end_to_end(spark):
+    """The stdlib decode tier (no PIL in this container) recovers the TRUE
+    dimensions of genuine PNG payloads through the full Spark plumbing —
+    closing the 'real decoder untestable in this sandbox' gap."""
+    grad = _encode_png(5, 7, lambda x, y: (x * 40, y * 30, 128))
+    upfilt = _encode_png(6, 4, lambda x, y: (10 + x, 20 + y, 0), filt=2)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(grad), "image/png", None),
+            (2, "image", bytearray(upfilt), "image/png", None),
+            (3, "image", bytearray(b"not-a-png"), "image/jpeg", None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in M.image_features(media, decoder="stdlib").collect()}
+    assert (rows[1].width, rows[1].height) == (5, 7)
+    assert (rows[2].width, rows[2].height) == (6, 4)
+    assert rows[1].decode_error is None and rows[2].decode_error is None
+    assert rows[1].phash is not None and rows[1].phash != rows[2].phash
+    # non-PNG payloads fall to the deterministic stub, never raise
+    stub = M._decode_image_stub(b"not-a-png")
+    assert (rows[3].width, rows[3].height) == (stub["width"], stub["height"])
+    # pure-python decode agrees with itself across filter types: the
+    # gradient re-encoded with the Up filter decodes to the same pixels
+    same = _encode_png(5, 7, lambda x, y: (x * 40, y * 30, 128), filt=2)
+    a = M._decode_image_png_stdlib(grad)
+    b = M._decode_image_png_stdlib(same)
+    assert (a["width"], a["height"], a["phash"]) == (b["width"], b["height"], b["phash"])

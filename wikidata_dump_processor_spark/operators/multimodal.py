@@ -86,20 +86,119 @@ def _decode_image_pil(payload: bytes) -> dict:
     return {"width": w, "height": h, "phash": bits}
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_image_png_stdlib(payload: bytes) -> dict:
+    """REAL PNG decode with the standard library only (struct + zlib —
+    no PIL): IHDR dimensions, IDAT inflate, per-row filter reversal,
+    then the same 8x8 average-hash as the PIL tier over the luminance.
+    Supports the common 8-bit color types (gray / gray+alpha / RGB /
+    RGBA / palette), non-interlaced — enough to test real decoding
+    end-to-end in a container without image libraries."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, b"", b""
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, bitd, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    if interlace or bitd != 8:
+        raise ValueError(f"unsupported PNG (bitdepth={bitd}, interlace={interlace})")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b, c = prev[i], (prev[i - nch] if i >= nch else 0)
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        rows.append(line)
+        prev = line
+
+    def luma(x: int, y: int) -> int:
+        px = rows[y][x * nch : (x + 1) * nch]
+        if ctype == 3:  # palette index -> RGB
+            px = plte[px[0] * 3 : px[0] * 3 + 3] or b"\0\0\0"
+            return (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+        if ctype in (0, 4):  # gray (+alpha)
+            return px[0]
+        return (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+
+    # 8x8 average hash over a nearest-neighbor downsample (same scheme as
+    # the PIL tier; resampling kernels differ, so the two tiers' hashes
+    # are comparable within a tier, not across tiers)
+    grid = [luma(min(gx * w // 8, w - 1), min(gy * h // 8, h - 1))
+            for gy in range(8) for gx in range(8)]
+    avg = sum(grid) / 64.0
+    bits = 0
+    for i, v in enumerate(grid):
+        if v >= avg:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return {"width": w, "height": h, "phash": bits}
+
+
+def _decode_image_stdlib(payload: bytes) -> dict:
+    """No-image-libs tier: REAL decode for PNG payloads via
+    ``_decode_image_png_stdlib``, deterministic stub for everything else
+    (jpeg/webp/... need codecs this container lacks)."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_image_png_stdlib(payload)
+    return _decode_image_stub(payload)
+
+
 def _pick_decoder():
-    """PIL when importable (and not forced off via
-    MULTIMODAL_FORCE_STUB=1), else the deterministic stub — called inside
-    the executor kernel so the choice is made where the work runs."""
+    """Tier order, decided inside the executor kernel where the work
+    runs: PIL when importable (and not forced off via
+    MULTIMODAL_FORCE_STUB=1), else the stdlib tier (real PNG decode,
+    stub for other formats), else — forced — the pure stub."""
     import os
 
-    if os.environ.get("MULTIMODAL_FORCE_STUB") != "1":
-        try:
-            import PIL.Image  # noqa: F401
+    if os.environ.get("MULTIMODAL_FORCE_STUB") == "1":
+        return _decode_image_stub
+    try:
+        import PIL.Image  # noqa: F401
 
-            return _decode_image_pil
-        except ImportError:
-            pass
-    return _decode_image_stub
+        return _decode_image_pil
+    except ImportError:
+        return _decode_image_stdlib
 
 
 def image_features(media: DataFrame, decoder: str | None = None) -> DataFrame:
@@ -107,14 +206,17 @@ def image_features(media: DataFrame, decoder: str | None = None) -> DataFrame:
     output row per input row, errors captured per row (never fail the
     task — the 100 TB rule: one corrupt jpeg must not kill a partition).
 
-    ``decoder``: None = auto (PIL when importable, else stub); "stub" /
-    "pil" pin a kernel (the oracle-checked driver query pins "stub" so
-    the expected output is environment-independent)."""
+    ``decoder``: None = auto (PIL when importable, else the stdlib tier
+    — real PNG decode without image libraries, stub for other formats);
+    "stub" / "pil" / "stdlib" pin a kernel (the oracle-checked driver
+    query pins "stub" so the expected output is
+    environment-independent)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = {
             "stub": _decode_image_stub,
             "pil": _decode_image_pil,
+            "stdlib": _decode_image_stdlib,
             None: _pick_decoder(),
         }[decoder]
         for pdf in batches:

@@ -113,15 +113,42 @@ class StageManifest:
             if v.get("state", "committed") == "committed"
         )
 
+    def plan(self, stages: list[str], fingerprint: str):
+        """St4 job-queue 'pending' state (wdq_fetcher.pl:110-123,
+        wdq0b.pl:62-92: the queue tracks not-yet-started jobs with
+        timestamps): record every planned-but-not-yet-run stage as
+        ``pending`` at pipeline start, so a monitoring read of the
+        manifest distinguishes never-started (pending) from crashed
+        mid-run (in_progress) from done (committed).  Stages already
+        committed under the same fingerprint are left untouched (resume
+        skips them)."""
+        with self._lock:
+            for stage in stages:
+                s = self.stages.get(stage)
+                if (
+                    s
+                    and s.get("fingerprint") == fingerprint
+                    and s.get("state", "committed") == "committed"
+                ):
+                    continue
+                self.stages[stage] = {
+                    "fingerprint": fingerprint,
+                    "state": "pending",
+                    "planned_at": time.time(),
+                }
+            self._flush()
+
     def start(self, stage: str, fingerprint: str):
         """St4 job-queue state (wdq_fetcher.pl:110-123, wdq0b.pl:62-92):
         mark the stage in_progress BEFORE its job runs, so a crashed run
         is distinguishable from a never-started one; ``done`` treats an
         in_progress entry as not-done, so resume re-runs and recommits."""
         with self._lock:
+            planned = self.stages.get(stage, {}).get("planned_at")
             self.stages[stage] = {
                 "fingerprint": fingerprint,
                 "state": "in_progress",
+                "planned_at": planned,
                 "started_at": time.time(),
             }
             self._flush()
@@ -379,6 +406,10 @@ def run_pipeline(
                 f"pages input has {n_in} rows, outside expected [{lo_n}, {hi_n}]"
             )
     man = StageManifest(out_dir)
+    man.plan(
+        ["extract", "triples", "items", "props", "mentions", "canonical", "nodes"],
+        fp,
+    )
     p = lambda name: os.path.join(out_dir, name)
     notify = notifier if callable(notifier) else (lambda msg: None)
     notify(f"pipeline started fingerprint={fp}")

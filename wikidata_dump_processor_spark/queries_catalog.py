@@ -478,8 +478,22 @@ def _q_o1(spark, sf_dir):
 # last-registered entry dropped).  The catalog therefore registers
 # EXACTLY 50 so every registered query gets a driver row: the former
 # w1_top3_docs_per_source (rank-window top-3, no SURVEY §2 inventory row
-# of its own) was removed — its window coverage is retained by
-# w2_running_customer_spend (running frame) and the P8/O4 top-1 path.
+# of its own) is NOT registered with @q — it lives below as a plain
+# function and is golden-checked by pytest (tests/test_training_ops.py::
+# test_rank_window_top3_per_source_golden), so partitioned rank/top-k
+# coverage survives the external 50-query cap without a driver slot.
+
+
+def w1_top3_docs_per_source(spark, sf_dir):
+    """Rank-window top-k (row_number over a partitioned desc order) —
+    pytest-only; see the 50-query-cap note above."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", "rn")
+    )
 
 
 @q(
