@@ -317,6 +317,7 @@ def _write_stage_bucketed(
     manifest.start(stage, fingerprint)
     if notify:
         notify(f"stage {stage} started")
+    t0 = time.time()
     # lineage AFTER the bucket shuffle so _part_id is the writing bucket
     df = _with_lineage(df_fn().repartition(buckets, F.col(bucket_col)))
     (
@@ -327,12 +328,15 @@ def _write_stage_bucketed(
         .option("path", path)
         .saveAsTable(table)
     )
+    t1 = time.time()
     metrics = _partition_metrics(spark, path)
     metrics["buckets"] = buckets
     metrics["table"] = table
     manifest.commit(stage, fingerprint, path, metrics)
     if notify:
         notify(f"stage {stage} finished rows={metrics.get('rows')}")
+    if os.environ.get("PIPELINE_TIMING"):
+        print(f"[stage {stage}] write={t1 - t0:.2f}s metrics={time.time() - t1:.2f}s", flush=True)
     return spark.table(table)
 
 
