@@ -73,3 +73,56 @@ def test_two_phase_count_equals_naive(spark):
     two = {(r.k, r["count"]) for r in two_phase_count(fact, ["k"], num_salts=N_SALTS).collect()}
     assert two == naive
     assert dict(naive)["hot"] == 3 * N // 10
+
+
+def test_domain_quota_sample_exact_golden(spark):
+    """Head-domain cap, exact path: per-domain top-`cap` by xxhash64
+    priority — re-derived in pure Python with the bit-exact xxh64
+    replica, so selection (not just counts) is golden-checked."""
+    from collections import Counter
+    from urllib.parse import urlparse
+
+    from wikidata_dump_processor_spark.operators.skew import domain_quota_sample
+    from wikidata_dump_processor_spark.xxh64 import spark_xxhash64
+
+    rows = [(f"https://head.example/doc{i}", i) for i in range(40)]
+    rows += [
+        (f"https://tail{t}.example/doc{i}", 100 + t * 10 + i)
+        for t in range(5)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long")
+    got = domain_quota_sample(df, cap=10, seed=7).collect()
+    by_dom: dict[str, list[str]] = {}
+    for u, _ in rows:
+        by_dom.setdefault(urlparse(u).netloc, []).append(u)
+    expected = sorted(
+        u
+        for us in by_dom.values()
+        for u in sorted(us, key=lambda x: (spark_xxhash64(x, ("int", 7)), x))[:10]
+    )
+    assert sorted(r.url for r in got) == expected
+    c = Counter(r.domain for r in got)
+    assert c["head.example"] == 10 and all(v <= 10 for v in c.values())
+
+
+def test_domain_quota_sample_approx_rate(spark):
+    """Scale path (hash-Bernoulli, no per-domain sort): under-cap
+    domains untouched, head domain reduced to ~cap in expectation,
+    fully deterministic across runs."""
+    from collections import Counter
+
+    from wikidata_dump_processor_spark.operators.skew import domain_quota_sample
+
+    rows = [(f"https://head.example/d{i}", i) for i in range(2000)]
+    rows += [(f"https://tail.example/d{i}", 10000 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, doc_id long")
+    got = domain_quota_sample(df, cap=200, seed=1, exact=False).collect()
+    c = Counter(r.domain for r in got)
+    assert c["tail.example"] == 5
+    assert 120 <= c["head.example"] <= 300, c["head.example"]
+    again = Counter(
+        r.domain
+        for r in domain_quota_sample(df, cap=200, seed=1, exact=False).collect()
+    )
+    assert again == c

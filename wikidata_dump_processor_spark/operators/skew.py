@@ -48,6 +48,56 @@ def salted_join(
     return out.drop("_salt")
 
 
+def domain_quota_sample(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    seed: int = 0,
+    exact: bool = True,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Head-domain downsampling: keep at most ``cap`` documents per url
+    domain — the corpus-side answer to the north rule's "skew from head
+    domains" (a handful of hosts dominate a web crawl; an uncapped
+    corpus trains on their voice).  Deterministic: selection priority is
+    ``xxhash64(url, seed)``, no rand(), so the same input always yields
+    the same sample and re-runs are resumable.
+
+    ``exact=True``: per-domain ``row_number`` over hash order — exactly
+    ``cap`` rows per over-cap domain.  One shuffle on domain; a
+    mega-domain serializes through one window partition, so this is the
+    moderate-skew path (AQE splits help the join/agg around it, not the
+    window itself).
+
+    ``exact=False`` (the 100-TB path): per-domain keep-rate
+    ``min(1, cap/count)`` applied as a hash-Bernoulli filter — cap holds
+    in expectation, NO per-domain sort; counts come from
+    ``two_phase_count`` so even a domain holding half the corpus bounds
+    every partition, and the rate table (one row per domain) joins back
+    without a hint (the planner broadcasts it while it fits).
+    """
+    dom = F.parse_url(F.col(url_col), F.lit("HOST"))
+    d = docs.withColumn(domain_col, dom)
+    pri = F.xxhash64(F.col(url_col), F.lit(seed))
+    if exact:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy(domain_col).orderBy(pri.asc(), F.col(url_col).asc())
+        )
+        return d.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
+    counts = two_phase_count(
+        d.select(F.col(domain_col)), [domain_col]
+    ).withColumnRenamed("count", "_n")
+    rated = d.join(counts, domain_col, "left")
+    # keep iff hash-uniform(url) < cap/n; pmod to [0, 2^32) for a stable
+    # uniform variate from the signed 64-bit hash
+    u = F.pmod(pri, F.lit(1 << 32)).cast("double") / float(1 << 32)
+    return rated.filter(
+        (F.col("_n") <= cap) | (u < cap / F.col("_n").cast("double"))
+    ).drop("_n")
+
+
 def two_phase_count(df: DataFrame, key_cols: list[str], num_salts: int = 16) -> DataFrame:
     """groupBy(key).count() with bounded per-partition key width: partial
     count on (key, salt), final sum on key.  (Spark's hash aggregate
