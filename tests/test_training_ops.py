@@ -347,3 +347,43 @@ def test_stdlib_png_real_decode_end_to_end(spark):
     a = M._decode_image_png_stdlib(grad)
     b = M._decode_image_png_stdlib(same)
     assert (a["width"], a["height"], a["phash"]) == (b["width"], b["height"], b["phash"])
+
+
+def test_repetition_features_golden(spark):
+    """Gopher-style repetition metrics vs a naive pure-Python
+    re-derivation, including the empty / all-duplicate / no-duplicate
+    edges."""
+    import re
+    from collections import Counter
+
+    docs = [
+        (1, "a b\na b\nc d\n\na b\na b"),              # dup lines + paras
+        (2, "unique one\nunique two\nunique three"),   # no dups
+        (3, ""),                                       # empty
+        (4, "x\nx\nx\nx"),                             # all dup
+        (5, "spam spam spam spam ham"),                # repeated bigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.repetition_features(df).collect()}
+
+    for doc_id, text in docs:
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        paras = [p.strip() for p in re.split(r"\n\n+", text) if p.strip()]
+        toks = [w for w in re.split(r"\s+", text.lower()) if w]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def dup_frac(arr):
+            return (len(arr) - len(set(arr))) / len(arr) if arr else 0.0
+
+        def dup_char_frac(arr):
+            c = Counter(arr)
+            tot = sum(len(x) for x in arr)
+            dup = sum(len(x) for x in arr if c[x] > 1)
+            return dup / tot if tot else 0.0
+
+        top = (max(Counter(bigrams).values()) / len(bigrams)) if bigrams else 0.0
+        r = got[doc_id]
+        assert abs(r.dup_line_frac - dup_frac(lines)) < 1e-6, doc_id
+        assert abs(r.dup_line_char_frac - dup_char_frac(lines)) < 1e-6, doc_id
+        assert abs(r.dup_para_frac - dup_frac(paras)) < 1e-6, doc_id
+        assert abs(r.top_bigram_frac - top) < 1e-6, doc_id

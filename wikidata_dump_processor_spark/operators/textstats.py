@@ -78,6 +78,81 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return f.withColumn("quality", F.round(score, 6))
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        max_tokens: int = 2000) -> DataFrame:
+    """Gopher-style repetition filters, the standard web-corpus cleaning
+    signals: duplicate-line fraction (by count and by characters),
+    duplicate-paragraph fraction, and the corpus-share of the most
+    frequent word bigram.  All four are per-row JVM higher-order
+    functions — NO shuffle, no Python; at 100 TB this is a narrow map
+    like the other textstats.
+
+    The within-row comparisons are O(lines²)/O(bigrams²) per document;
+    lines/paragraphs are naturally bounded and the bigram scan is capped
+    at ``max_tokens`` tokens (a repetition signal saturates long before
+    that), so per-row cost stays bounded for pathological documents."""
+    t = F.col(text_col)
+
+    def nonempty(arr):
+        return F.filter(
+            F.transform(arr, lambda x: F.trim(x)), lambda x: x != ""
+        )
+
+    lines = nonempty(F.split(t, r"\n"))
+    paras = nonempty(F.split(t, r"\n\n+"))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr))) / n
+        ).otherwise(F.lit(0.0))
+
+    def dup_char_frac(arr):
+        total = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dup_chars = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.when(
+                F.size(F.filter(arr, lambda y: y == x)) > 1, F.length(x)
+            ).otherwise(F.lit(0)),
+        )
+        return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+    toks = F.slice(
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != ""),
+        1, max_tokens,
+    )
+    n_t = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_t - 1, F.lit(0))),
+        F.when(n_t >= 2, F.slice(toks, 2, n_t - 1)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram = F.when(
+        F.size(bigrams) > 0,
+        F.array_max(
+            F.transform(
+                bigrams, lambda b: F.size(F.filter(bigrams, lambda y: y == b))
+            )
+        )
+        / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+
+    return docs.withColumns(
+        {
+            "dup_line_frac": F.round(dup_frac(lines), 6),
+            "dup_line_char_frac": F.round(dup_char_frac(lines), 6),
+            "dup_para_frac": F.round(dup_frac(paras), 6),
+            "top_bigram_frac": F.round(top_bigram, 6),
+        }
+    )
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Rolling document fingerprint: fold the normalized token stream
     left-to-right as ``acc = xxhash64(token, acc)`` (hash chaining — the
