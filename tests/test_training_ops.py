@@ -387,3 +387,53 @@ def test_repetition_features_golden(spark):
         assert abs(r.dup_line_char_frac - dup_char_frac(lines)) < 1e-6, doc_id
         assert abs(r.dup_para_frac - dup_frac(paras)) < 1e-6, doc_id
         assert abs(r.top_bigram_frac - top) < 1e-6, doc_id
+
+
+def test_canonical_url_golden(spark):
+    """URL canonicalization vs a pure-Python re-derivation: case, www,
+    default ports, fragments, tracking params, param order, trailing
+    slashes all collapse; distinct documents stay distinct."""
+    from urllib.parse import parse_qsl, urlparse
+
+    from wikidata_dump_processor_spark.functions.urls import with_canonical_url
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&q=1#frag",
+        "http://example.com/a/b?q=1",
+        "https://example.com:443/",
+        "https://example.com",
+        "https://example.com:8443/x/",
+        "http://example.com/a/b?b=2&a=1",
+        "http://example.com/a/b?a=1&b=2&fbclid=zzz",
+        "http://other.example.com/a",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.canonical_url for r in with_canonical_url(df).collect()}
+
+    def naive(u):
+        p = urlparse(u)
+        host = p.hostname.lower().removeprefix("www.")
+        port = ""
+        if p.port and not (
+            (p.scheme.lower(), p.port) in (("http", 80), ("https", 443))
+        ):
+            port = f":{p.port}"
+        path = p.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        keep = sorted(
+            f"{k}={v}"
+            for k, v in parse_qsl(p.query, keep_blank_values=True)
+            if not (k.startswith("utm_") or k in ("gclid", "fbclid", "msclkid", "ref", "fbsrc"))
+        )
+        q = "?" + "&".join(keep) if keep else ""
+        return f"{p.scheme.lower()}://{host}{port}{path}{q}"
+
+    for u in urls:
+        assert got[u] == naive(u), (u, got[u], naive(u))
+    # the first two and the param-order pair collapse; keys distinct per doc
+    assert got[urls[0]] == got[urls[1]]
+    assert got[urls[5]] == got[urls[6]]
+    assert got[urls[2]] == got[urls[3]]
+    assert got[urls[4]] != got[urls[2]]  # non-default port survives
+    assert got[urls[7]] != got[urls[1]]
