@@ -364,7 +364,10 @@ def test_repetition_features_golden(spark):
         (5, "spam spam spam spam ham"),                # repeated bigram
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {r.doc_id: r for r in X.repetition_features(df).collect()}
+    rf = X.repetition_features(df)
+    # narrow map: per-row HOFs only, nothing may shuffle
+    assert "Exchange" not in rf._jdf.queryExecution().executedPlan().toString()
+    got = {r.doc_id: r for r in rf.collect()}
 
     for doc_id, text in docs:
         lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
@@ -408,7 +411,10 @@ def test_canonical_url_golden(spark):
         "http://other.example.com/a",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
-    got = {r.url: r.canonical_url for r in with_canonical_url(df).collect()}
+    cu = with_canonical_url(df)
+    # narrow map: pure expressions, nothing may shuffle
+    assert "Exchange" not in cu._jdf.queryExecution().executedPlan().toString()
+    got = {r.url: r.canonical_url for r in cu.collect()}
 
     def naive(u):
         p = urlparse(u)
