@@ -284,10 +284,11 @@ def _ensure_bucketed_table(
         return
     fields = spark.read.parquet(path).schema.fields
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    loc = path.replace("'", "''")  # SQL-escape quotes in the location
     spark.sql(
         f"CREATE TABLE {table} ({cols}) USING parquet "
         f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
-        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        f"INTO {buckets} BUCKETS LOCATION '{loc}'"
     )
 
 
