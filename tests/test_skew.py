@@ -126,3 +126,20 @@ def test_domain_quota_sample_approx_rate(spark):
         for r in domain_quota_sample(df, cap=200, seed=1, exact=False).collect()
     )
     assert again == c
+    # bit-exact golden: the keep decision is pure — u = pmod(xxhash64(
+    # url, seed), 2^32)/2^32 < cap/n — so the pure-Python xxh64 replica
+    # re-derives the EXACT selected set, not just its size
+    from wikidata_dump_processor_spark.xxh64 import spark_xxhash64
+
+    def keep(url, n):
+        if n <= 200:
+            return True
+        u = (spark_xxhash64(url, ("int", 1)) % (1 << 32)) / float(1 << 32)
+        return u < 200 / n
+
+    n_by_dom = {"head.example": 2000, "tail.example": 5}
+    expected = sorted(
+        u for u, _ in rows
+        if keep(u, n_by_dom["head.example" if "head" in u else "tail.example"])
+    )
+    assert sorted(r.url for r in got) == expected
