@@ -143,3 +143,39 @@ def test_domain_quota_sample_approx_rate(spark):
         if keep(u, n_by_dom["head.example" if "head" in u else "tail.example"])
     )
     assert sorted(r.url for r in got) == expected
+
+
+def test_with_salt_never_hashes_payload(spark):
+    """VERDICT r4 #6: the default salt is round-robin (no content hash at
+    all); the deterministic variant hashes ONLY the named columns — a
+    wide text payload never enters the salt expression."""
+    df = spark.createDataFrame(
+        [(1, "x" * 1000, 2)], "k int, text string, v long"
+    )
+    plan = with_salt(df, 8)._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" not in plan  # round-robin default touches no content
+    plan2 = with_salt(df, 8, cols=["k", "v"])._jdf.queryExecution().analyzed().toString()
+    salt_exprs = [
+        l.split("xxhash64", 1)[1] for l in plan2.splitlines() if "xxhash64" in l
+    ]
+    assert salt_exprs and all("text" not in e.split(")")[0] for e in salt_exprs)
+
+
+def test_domain_quota_sample_null_domain_parity(spark):
+    """ADVICE r4: malformed URLs (try_parse_url -> NULL host) coalesce to
+    the '' sentinel domain, so BOTH paths keep them up to cap — the
+    hash-Bernoulli path previously dropped every null-domain row via its
+    null-key join filter."""
+    from collections import Counter
+
+    from wikidata_dump_processor_spark.operators.skew import domain_quota_sample
+
+    rows = [(f"https://ok.example/d{i}", i) for i in range(5)]
+    rows += [(f"junk url {i} with spaces", 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, doc_id long")
+    for exact in (True, False):
+        got = domain_quota_sample(df, cap=10, exact=exact).collect()
+        assert len(got) == 10, (exact, len(got))
+        assert {r.domain for r in got} == {"", "ok.example"}
+    c = Counter(r.domain for r in domain_quota_sample(df, cap=3, exact=True).collect())
+    assert c[""] == 3 and c["ok.example"] == 3

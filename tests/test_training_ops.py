@@ -443,3 +443,26 @@ def test_canonical_url_golden(spark):
     assert got[urls[2]] == got[urls[3]]
     assert got[urls[4]] != got[urls[2]]  # non-default port survives
     assert got[urls[7]] != got[urls[1]]
+
+
+def test_canonical_url_malformed_safe(spark):
+    """ADVICE r4: ``parse_url`` raises INVALID_URL under Spark 4 ANSI
+    mode — canonicalization must survive malformed URLs (NULL canonical
+    form) and key them on the RAW url so distinct garbage never collapses
+    into one dedup bucket (xxhash64(NULL) is the constant 42)."""
+    from wikidata_dump_processor_spark.functions.urls import with_canonical_url
+
+    urls = [
+        "http://example.com/ok",
+        "http://bad host/with space",
+        "not a url at all",
+        "://more junk here",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {r.url: r for r in with_canonical_url(df).collect()}  # must not raise
+    assert rows["http://example.com/ok"].canonical_url == "http://example.com/ok"
+    bad = [r for u, r in rows.items() if u != "http://example.com/ok"]
+    assert all(r.canonical_url is None for r in bad)
+    keys = {r.canonical_url_key for r in bad}
+    assert len(keys) == len(bad)  # raw-url fallback: no collapse
+    assert 42 not in keys

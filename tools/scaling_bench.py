@@ -187,8 +187,12 @@ def main():
     weak_eff = tput_hi / (4 * weak_lo)
     weak_paired = statistics.median(p["weak_eff"] for p in paired)
     cpu_eff = cpu_control(lo, hi)
-    met = eff_best >= 0.8 or eff_paired >= 0.8
-    weak_met = weak_eff >= 0.8 or weak_paired >= 0.8
+    # ADVICE r4: ONE primary estimator — the paired-window MEDIAN (each
+    # window runs N and 4N back-to-back so host drift cancels inside the
+    # ratio; the median resists a lucky window).  best-of-reps and pooled
+    # ratios are reported as context only, never OR-ed into the verdict.
+    met = eff_paired >= 0.8
+    weak_met = weak_paired >= 0.8
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(
@@ -201,6 +205,7 @@ def main():
                 "weak_paired_median": round(weak_paired, 3),
                 "paired_windows": paired,
                 "cpu_control_eff": round(cpu_eff, 3),
+                "criterion_estimator": "paired_window_median",
                 "criterion_met": met,
                 "weak_criterion_met": weak_met,
                 "weak_reps": [
@@ -247,18 +252,20 @@ per level (host-VM noise is ±30% run-to-run); median shown alongside.
 | local[{hi}] (4N) | {best(hi)['queries']['kg_pipeline']} | {tput_hi} | {best(hi)['triples_per_sec']} |
 {sat_lines}
 **Strong-scaling efficiency** eff = throughput_4N / (4 x throughput_N) =
-{tput_hi} / (4 x {tput_lo}) = **{eff_best:.3f}** best-of-repeats
-({eff_med:.3f} median-of-repeats; **{eff_paired:.3f} median of
-per-window paired ratios** — each window runs N and 4N back-to-back so
-window-scale host drift cancels inside the ratio); target >= 0.8 —
+**{eff_paired:.3f} median of per-window paired ratios** — each window
+runs N and 4N back-to-back so window-scale host drift cancels inside
+the ratio; this paired median is the SINGLE primary criterion estimator
+(context only: {eff_best:.3f} best-of-repeats, {eff_med:.3f}
+median-of-repeats, pooled = {tput_hi}/(4 x {tput_lo})); target >= 0.8 —
 **{"MET" if met else "NOT MET"}** at the stated levels on this single box.
 
 ## Weak scaling (n/4 data on N cores vs n data on 4N cores)
 
 local[{lo}] @ {n // 4} pages: **{weak_lo}** pages/s vs local[{hi}] @ {n}
 pages: **{tput_hi}** pages/s -> per-core throughput retention
-**{weak_eff:.3f}** ({weak_paired:.3f} median of per-window paired
-ratios; target >= 0.8 — **{"MET" if weak_met else "NOT MET"}**).
+**{weak_paired:.3f} median of per-window paired ratios** (the primary
+estimator; pooled-best {weak_eff:.3f} as context); target >= 0.8 —
+**{"MET" if weak_met else "NOT MET"}**.
 This is the standard cluster-capacity test: data and cores grow together,
 which is how an executor fleet is actually grown against a per-node
 bandwidth budget.
@@ -281,7 +288,8 @@ Criterion statement: the >= 0.8 target is
 {"met by strong scaling at the stated levels" if met else
  ("NOT met by single-box strong scaling (bus-bound, see controls); weak "
   "scaling — the formulation that matches how a real N->4N cluster is "
-  "grown — measures " + format(weak_eff, ".3f") + " this run ("
+  "grown — measures " + format(weak_paired, ".3f")
+  + " paired-median this run ("
   + ("MET" if weak_met else "NOT MET")
   + "). Both numbers are reported; single-run numbers on this box carry "
   "the +-30% host-noise error bar (see the measurement log in this file "

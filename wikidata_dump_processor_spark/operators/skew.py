@@ -17,11 +17,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, num_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from the row (no rand(): reproducible)."""
-    return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
-    )
+def with_salt(
+    df: DataFrame,
+    num_salts: int,
+    col_name: str = "_salt",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach a salt in ``[0, num_salts)`` used to split hot keys.
+
+    ``cols=None`` (default): a cheap per-row round-robin salt —
+    ``pmod(monotonically_increasing_id(), n)`` — which never touches row
+    content (a fact table carrying a wide ``text`` column pays nothing)
+    and splits ANY hot key perfectly.  Salt values depend on physical row
+    order, but every salted operator here (``salted_join``,
+    ``two_phase_count``) produces output invariant to the salt
+    assignment, so results stay deterministic.
+
+    ``cols=[...]``: content-deterministic salt ``pmod(xxhash64(cols), n)``
+    for callers that need the salt itself reproducible across runs; pick
+    cheap columns that VARY WITHIN a hot key (salting on the join key
+    alone would give every row of that key the same salt — no split).
+    Never hash ``df.columns`` wholesale: a wide text/binary column makes
+    the salt cost a full-document hash per row."""
+    if cols is None:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts))
+    return df.withColumn(col_name, salt)
 
 
 def explode_salts(df: DataFrame, num_salts: int, col_name: str = "_salt") -> DataFrame:
@@ -37,12 +59,15 @@ def salted_join(
     on: list[str],
     num_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``fact`` has skewed join keys: fact rows get a
-    deterministic salt, dim rows are replicated ``num_salts`` times, and
-    the join key becomes (on..., _salt).  Use when the dim side is too big
-    to broadcast but the fact side has mega-keys."""
-    f = with_salt(fact, num_salts)
+    salt (round-robin by default — wide payload columns are never
+    hashed; pass ``salt_cols`` for a content-deterministic salt), dim
+    rows are replicated ``num_salts`` times, and the join key becomes
+    (on..., _salt).  Use when the dim side is too big to broadcast but
+    the fact side has mega-keys."""
+    f = with_salt(fact, num_salts, cols=salt_cols)
     d = explode_salts(dim, num_salts)
     out = f.join(d, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
@@ -75,8 +100,16 @@ def domain_quota_sample(
     ``two_phase_count`` so even a domain holding half the corpus bounds
     every partition, and the rate table (one row per domain) joins back
     without a hint (the planner broadcasts it while it fits).
+
+    Malformed URLs: ``try_parse_url`` (ANSI-safe — plain ``parse_url``
+    would abort the whole job on one bad row) yields NULL, coalesced to
+    the sentinel domain ``""`` so BOTH paths treat all unparseable URLs
+    as one domain capped at ``cap`` — no silent null-key drop on the
+    inexact path's join+filter, no unbounded keep on the exact one.
     """
-    dom = F.parse_url(F.col(url_col), F.lit("HOST"))
+    dom = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
+    )
     d = docs.withColumn(domain_col, dom)
     pri = F.xxhash64(F.col(url_col), F.lit(seed))
     if exact:

@@ -87,11 +87,42 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     functions — NO shuffle, no Python; at 100 TB this is a narrow map
     like the other textstats.
 
-    The within-row comparisons are O(lines²)/O(bigrams²) per document;
-    lines/paragraphs are naturally bounded and the bigram scan is capped
-    at ``max_tokens`` tokens (a repetition signal saturates long before
-    that), so per-row cost stays bounded for pathological documents."""
+    Within-row cost is O(n log n) per document (array_sort + one
+    run-length fold — NOT the naive all-pairs filter-in-transform, which
+    is quadratic: ~4M comparisons/doc at the 2000-token cap); the bigram
+    scan is additionally capped at ``max_tokens`` tokens (a repetition
+    signal saturates long before that), so per-row cost stays bounded
+    for pathological documents."""
     t = F.col(text_col)
+
+    def _run_fold(sorted_arr, per_dup_chars: bool):
+        """One pass over a SORTED array tracking (prev, run): with
+        ``per_dup_chars`` the fold sums c*len(elem) over elements with
+        count c >= 2 (the second occurrence retroactively adds the
+        first's chars); otherwise it keeps the longest run = the max
+        element count.  Equal elements are adjacent after array_sort, so
+        this is exactly the all-pairs count, linearized."""
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("out"),
+        )
+
+        def step(a, x):
+            is_rep = x == a["prev"]  # NULL (→ otherwise) on first element
+            run = F.when(is_rep, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+            if per_dup_chars:
+                add = F.when(
+                    is_rep,
+                    F.length(x).cast("long")
+                    * F.when(a["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0).cast("long"))
+                out = a["out"] + add
+            else:
+                out = F.greatest(a["out"], run)
+            return F.struct(x.alias("prev"), run.alias("run"), out.alias("out"))
+
+        return F.aggregate(sorted_arr, acc0, step, lambda a: a["out"])
 
     def nonempty(arr):
         return F.filter(
@@ -111,14 +142,7 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         total = F.aggregate(
             arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         )
-        dup_chars = F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda a, x: a
-            + F.when(
-                F.size(F.filter(arr, lambda y: y == x)) > 1, F.length(x)
-            ).otherwise(F.lit(0)),
-        )
+        dup_chars = _run_fold(F.array_sort(arr), per_dup_chars=True)
         return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
 
     toks = F.slice(
@@ -135,11 +159,7 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     )
     top_bigram = F.when(
         F.size(bigrams) > 0,
-        F.array_max(
-            F.transform(
-                bigrams, lambda b: F.size(F.filter(bigrams, lambda y: y == b))
-            )
-        )
+        _run_fold(F.array_sort(bigrams), per_dup_chars=False)
         / F.size(bigrams),
     ).otherwise(F.lit(0.0))
 
