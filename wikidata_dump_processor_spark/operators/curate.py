@@ -1,0 +1,178 @@
+"""Training-data curation as ONE composable filter chain with lineage.
+
+The round-4 curation operators (URL canonicalization, exact dedup,
+quality/repetition filters, MinHash near-dup detection, head-domain
+quota sampling) existed as a library; this module chains them the way
+the reference chains its post-scan stages in one DAG (wdq0.pl:188-220 —
+each step consumes the previous step's output and the orchestrator
+records what ran), producing a single flagged frame:
+
+    every input row + ``_drop_reason`` (NULL = kept)
+
+``_drop_reason`` is the FIRST failing filter in chain order, so the
+audit (``curation_audit``) decomposes the corpus into disjoint buckets
+whose counts sum to the input row count — per-filter lineage for the
+manifest, exactly one small aggregate job.
+
+Chain order (standard web-corpus curation order — cheap/narrow filters
+before pair-generating ones, so the expensive near-dup stage sees only
+survivors):
+
+  1. url_dup       same ``canonical_url`` key, not the keeper (min id)
+  2. exact_dup     same md5 of normalized text, not the keeper (min id)
+  3. quality       heuristic quality score < ``quality_min``
+  4. repetition    Gopher-style duplicate-line / top-bigram share gates
+  5. near_dup      has a smaller-id survivor with MinHash est-Jaccard
+                   >= ``minhash_threshold`` (greedy min-keeper list)
+  6. domain_quota  dropped by the head-domain cap (hash-Bernoulli path)
+
+Scale notes (100 TB): steps 1-4 are one narrow map plus two
+high-cardinality-key window shuffles (row_number over the dedup key —
+no mega-key: a dedup key shared by millions of rows IS the duplication
+being removed, and the keeper pick reads only the key+id projection).
+Step 5 runs the banded, bucket-capped LSH from operators/dedup.py over
+survivors only; step 6 is the no-sort hash-Bernoulli sampler from
+operators/skew.py.  The flagged base is lazily localCheckpoint-ed
+before the pair stages so the window/quality work is not recomputed by
+each survivor branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.urls import with_canonical_url
+from .dedup import minhash_lsh_pairs, normalize_text
+from .skew import domain_quota_sample
+from .textstats import quality_score, repetition_features
+
+DROP_REASONS = (
+    "url_dup", "exact_dup", "quality", "repetition", "near_dup",
+    "domain_quota",
+)
+
+_FEATURE_COLS = (
+    "n_chars", "n_tokens", "mean_word_len", "punct_ratio", "upper_ratio",
+    "digit_ratio", "stopword_ratio", "quality", "dup_line_frac",
+    "dup_line_char_frac", "dup_para_frac", "top_bigram_frac",
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    url_col: str = "url",
+    quality_min: float = 0.2,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+    near_dup: bool = True,
+    minhash_threshold: float = 0.7,
+    domain_cap: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """docs -> docs + curation features + ``_drop_reason`` (NULL = kept).
+
+    Returns the FLAGGED frame (all input rows).  The curated corpus is
+    ``filter(_drop_reason IS NULL)``; ``curation_audit`` turns the same
+    frame into per-filter drop counts.  ``domain_cap=None`` disables the
+    quota step, ``near_dup=False`` the LSH step.
+    """
+    d = with_canonical_url(docs, url_col=url_col)
+    # keeper pick per dedup key: row_number over (key -> min id).  The
+    # window partitions on a near-unique key, so no partition is wider
+    # than the duplicate group itself.
+    w_url = Window.partitionBy("canonical_url_key").orderBy(F.col(id_col))
+    d = d.withColumn("_url_rank", F.row_number().over(w_url))
+    d = d.withColumn("fp_md5", F.md5(normalize_text(F.col(text_col))))
+    w_fp = Window.partitionBy("fp_md5").orderBy(F.col(id_col))
+    d = d.withColumn("_fp_rank", F.row_number().over(w_fp))
+    d = repetition_features(quality_score(d, text_col), text_col)
+    base_reason = (
+        F.when(F.col("_url_rank") > 1, F.lit("url_dup"))
+        .when(F.col("_fp_rank") > 1, F.lit("exact_dup"))
+        .when(F.col("quality") < quality_min, F.lit("quality"))
+        .when(
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac),
+            F.lit("repetition"),
+        )
+    )
+    d = d.withColumn("_drop_reason", base_reason).drop("_url_rank", "_fp_rank")
+    if checkpoint and (near_dup or domain_cap is not None):
+        # the survivor branches below re-read this frame; checkpoint so
+        # the windows + quality features compute once (lazy: materialized
+        # by the first action, shared by the rest)
+        d = d.localCheckpoint(eager=False)
+    if near_dup:
+        surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
+        pairs = minhash_lsh_pairs(
+            surv, id_col=id_col, text_col=text_col,
+            threshold=minhash_threshold,
+        )
+        # greedy min-keeper: drop every doc with a smaller-id near-dup
+        # neighbor (pairs are emitted id_a < id_b)
+        losers = (
+            pairs.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("_nd", F.lit(True))
+        )
+        d = (
+            d.join(losers, id_col, "left")
+            .withColumn(
+                "_drop_reason",
+                F.coalesce(
+                    F.col("_drop_reason"),
+                    F.when(F.col("_nd"), F.lit("near_dup")),
+                ),
+            )
+            .drop("_nd")
+        )
+    if domain_cap is not None:
+        surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, url_col)
+        kept = (
+            domain_quota_sample(surv, cap=domain_cap, url_col=url_col, exact=False)
+            .select(F.col(id_col))
+            .withColumn("_dq", F.lit(True))
+        )
+        d = (
+            d.join(kept, id_col, "left")
+            .withColumn(
+                "_drop_reason",
+                F.coalesce(
+                    F.col("_drop_reason"),
+                    F.when(F.col("_dq").isNull(), F.lit("domain_quota")),
+                ),
+            )
+            .drop("_dq")
+        )
+    return d
+
+
+def curation_audit(flagged: DataFrame) -> dict:
+    """Per-filter lineage from the flagged frame: disjoint drop counts
+    (first-failing-filter attribution) + kept count; sums to the input
+    row count.  One small aggregate job — bounded output (#reasons + 1
+    rows), safe to collect into a manifest."""
+    rows = (
+        flagged.groupBy(
+            F.coalesce(F.col("_drop_reason"), F.lit("kept")).alias("reason")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["reason"]: r["n"] for r in rows}
+    return {
+        "kept": counts.get("kept", 0),
+        "dropped": {k: v for k, v in counts.items() if k != "kept"},
+        "input_rows": sum(counts.values()),
+    }
+
+
+def curated_only(flagged: DataFrame) -> DataFrame:
+    """The curated corpus: kept rows, lineage/feature columns retained
+    (they cost nothing at rest and make the curated snapshot
+    self-describing), bookkeeping column dropped."""
+    return flagged.filter(F.col("_drop_reason").isNull()).drop("_drop_reason")

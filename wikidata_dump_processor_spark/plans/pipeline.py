@@ -353,6 +353,8 @@ def run_pipeline(
     notifier=None,
     pre_split: bool = False,
     node_buckets: int = 64,
+    curate: bool = False,
+    curate_opts: dict | None = None,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -384,6 +386,13 @@ def run_pipeline(
       5. mentions   — trie mention detection + linking
       6. canonical  — connected-components map + rewritten triples
       7. nodes      — canonical node table, bucket-sorted by id_num
+      8. curate     — (``curate=True``) training-data curation of the
+         extracted documents: canonical-URL + exact-text dedup, quality/
+         repetition gates, MinHash near-dup keep-list, optional
+         head-domain quota (operators/curate.py) -> ``docs_curated``
+         snapshot; manifest metrics carry per-filter drop counts
+         (disjoint, first-failing attribution).  ``curate_opts`` passes
+         through to ``curate_documents`` (e.g. ``domain_cap``).
 
     Layout choices for 100 TB (SURVEY.md §7.1 'Materialize'):
       * triples partitioned by ``pred`` (the reference's P####.tsv model) —
@@ -411,10 +420,12 @@ def run_pipeline(
                 f"pages input has {n_in} rows, outside expected [{lo_n}, {hi_n}]"
             )
     man = StageManifest(out_dir)
-    man.plan(
-        ["extract", "triples", "items", "props", "mentions", "canonical", "nodes"],
-        fp,
-    )
+    stage_names = [
+        "extract", "triples", "items", "props", "mentions", "canonical", "nodes"
+    ]
+    if curate:
+        stage_names.append("curate")
+    man.plan(stage_names, fp)
     p = lambda name: os.path.join(out_dir, name)
     notify = notifier if callable(notifier) else (lambda msg: None)
     notify(f"pipeline started fingerprint={fp}")
@@ -486,6 +497,31 @@ def run_pipeline(
             lambda: link_mentions(exploded_mentions(parsed), aliases, catalog),
             p("mentions"), notify=notify,
         )
+        f_curate = None
+        if curate:
+            from ..operators.curate import (
+                curate_documents, curated_only, curation_audit,
+            )
+
+            def _curate_job():
+                # ONE flagged plan shared by the snapshot write and the
+                # per-filter audit (lazily checkpointed inside
+                # curate_documents, so the filter chain computes once)
+                flagged = curate_documents(
+                    parsed.select("url", "warc_ts", "lang", "text").filter(
+                        F.col("text").isNotNull()
+                    ),
+                    **(curate_opts or {}),
+                )
+                return _write_stage(
+                    spark, man, "curate", fp,
+                    lambda: curated_only(flagged),
+                    p("docs_curated"),
+                    extra_metrics_fn=lambda: {"filters": curation_audit(flagged)},
+                    notify=notify,
+                )
+
+            f_curate = pool.submit(_curate_job)
         triples = f_triples.result()
 
         # NON-identity remap only (bounded by merges, not subjects): the
@@ -516,6 +552,7 @@ def run_pipeline(
         items = f_items.result()
         props = f_props.result()
         linked = f_linked.result()
+        docs_curated = f_curate.result() if f_curate is not None else None
         remap, n_remap = f_remap.result() if f_remap is not None else (None, None)
 
     _stop_check()
@@ -597,7 +634,7 @@ def run_pipeline(
         )
 
     notify(f"pipeline finished stages={man.committed()}")
-    return {
+    out = {
         "extracted": parsed,
         "triples": triples,
         "items": items,
@@ -607,6 +644,9 @@ def run_pipeline(
         "nodes": nodes,
         "manifest": man,
     }
+    if curate:
+        out["docs_curated"] = docs_curated
+    return out
 
 
 def write_bucketed(
