@@ -1,0 +1,122 @@
+"""Console entry: run the KG-construction pipeline end to end.
+
+    python -m wikidata_dump_processor_spark PAGES_DIR OUT_DIR \
+        --aliases ALIASES_DIR [--catalog CATALOG_DIR] [options]
+
+The reference is runnable as ``./wdq0b.pl`` (wdq0b.pl:105-124 — the
+orchestrator script IS the deployment unit); this module is the Spark
+equivalent.  Local run: the session factory picks ``local[$SPARK_GRAFT_CPUS]``.
+Cluster run (north_rule: ``spark-submit --py-files`` at two cluster sizes):
+
+    spark-submit --master <cluster> --py-files wdp_spark.zip \
+        -m wikidata_dump_processor_spark  PAGES OUT --aliases ...    # or:
+    SPARK_MASTER= spark-submit ... $(python -c 'import wikidata_dump_processor_spark as m, os; print(os.path.dirname(m.__file__))')/__main__.py PAGES OUT ...
+
+(with ``SPARK_MASTER`` empty the builder leaves the master to
+spark-submit).
+
+Inputs
+  PAGES_DIR    parquet of Common-Crawl-style pages
+               (url:string, warc_ts:timestamp, html:binary,
+               text:string, lang:string) — the BASELINE.json input_hint
+               shape; pass ``--demo-pages N`` instead of a real dir to
+               run the deterministic synthetic corpus.
+  --aliases    parquet alias dictionary (surface -> candidate entity)
+  --catalog    optional parquet entity catalog for linking priors
+
+The run is resumable: re-invoking with the same OUT_DIR + fingerprint
+skips committed stages (snapshot manifest).  Default fingerprint is the
+input's byte size, so a changed input re-runs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m wikidata_dump_processor_spark",
+        description="PySpark-native KG-construction pipeline",
+    )
+    p.add_argument("pages", help="pages parquet dir ('-' with --demo-pages)")
+    p.add_argument("out", help="output directory (snapshots + manifest)")
+    p.add_argument("--aliases", help="alias-dictionary parquet dir")
+    p.add_argument("--catalog", help="entity-catalog parquet dir")
+    p.add_argument("--fingerprint", default="", help="resume fingerprint (default: input byte size)")
+    p.add_argument("--cpus", type=int, default=None, help="local-mode cores")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--node-buckets", type=int, default=64)
+    p.add_argument("--pre-split", action="store_true",
+                   help="input rows are raw multi-page dump streams")
+    p.add_argument("--curate", action="store_true",
+                   help="add the docs_curated training-data stage")
+    p.add_argument("--domain-cap", type=int, default=None,
+                   help="head-domain quota for --curate")
+    p.add_argument("--triples-by-subj", action="store_true",
+                   help="add the subject-bucketed triples layout")
+    p.add_argument("--demo-pages", type=int, default=None,
+                   help="generate N deterministic synthetic pages instead of reading PAGES")
+    args = p.parse_args(argv)
+
+    from .plans.pipeline import preflight_input_gate, run_pipeline
+    from .session import get_spark
+
+    spark = get_spark(
+        "wdp-pipeline", cpus=args.cpus,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    from . import datagen
+
+    if args.demo_pages:
+        pages = datagen.gen_pages(spark, args.demo_pages)
+        fp = args.fingerprint or f"demo={args.demo_pages}"
+    else:
+        n_bytes = preflight_input_gate(spark, args.pages)
+        pages = spark.read.parquet(args.pages)
+        fp = args.fingerprint or f"bytes={n_bytes}"
+    if args.aliases:
+        aliases = spark.read.parquet(args.aliases)
+    elif args.demo_pages:
+        aliases = datagen.gen_aliases(spark)
+    else:
+        p.error("--aliases is required unless --demo-pages is used")
+    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+
+    curate_opts = (
+        {"domain_cap": args.domain_cap} if args.domain_cap is not None else None
+    )
+    res = run_pipeline(
+        spark, pages, aliases, args.out, catalog,
+        fingerprint=fp,
+        pre_split=args.pre_split,
+        node_buckets=args.node_buckets,
+        curate=args.curate,
+        curate_opts=curate_opts,
+        triples_by_subj=args.triples_by_subj,
+    )
+    man = res["manifest"]
+    summary = {
+        "out": args.out,
+        "fingerprint": fp,
+        "stages": {
+            s: {
+                "rows": e.get("metrics", {}).get("rows"),
+                "bytes": e.get("metrics", {}).get("bytes"),
+            }
+            for s, e in sorted(man.stages.items())
+            if e.get("state", "committed") == "committed"
+        },
+    }
+    if args.curate:
+        summary["curate_filters"] = man.stages["curate"]["metrics"]["filters"]
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

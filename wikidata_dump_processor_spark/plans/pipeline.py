@@ -355,6 +355,7 @@ def run_pipeline(
     node_buckets: int = 64,
     curate: bool = False,
     curate_opts: dict | None = None,
+    triples_by_subj: bool = False,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -393,6 +394,15 @@ def run_pipeline(
          snapshot; manifest metrics carry per-filter drop counts
          (disjoint, first-failing attribution).  ``curate_opts`` passes
          through to ``curate_documents`` (e.g. ``domain_cap``).
+      9. triples_by_subj — (``triples_by_subj=True``) the canonical
+         triples re-materialized hash-BUCKETED + sorted on ``subj_num``
+         with the SAME bucket count/key domain as the nodes table, so
+         the reference's per-entity point query (wdq2.pl:347-406 —
+         "all triples of Q42") is one bucket probe (bucket pruning:
+         1 of ``node_buckets`` files opened) and a nodes⋈triples join
+         on id plans with NO Exchange on EITHER side (co-located).
+         The pred-partitioned ``triples`` layout stays the primary —
+         this is the subject-centric access path on top.
 
     Layout choices for 100 TB (SURVEY.md §7.1 'Materialize'):
       * triples partitioned by ``pred`` (the reference's P####.tsv model) —
@@ -425,6 +435,8 @@ def run_pipeline(
     ]
     if curate:
         stage_names.append("curate")
+    if triples_by_subj:
+        stage_names.append("triples_by_subj")
     man.plan(stage_names, fp)
     p = lambda name: os.path.join(out_dir, name)
     notify = notifier if callable(notifier) else (lambda msg: None)
@@ -633,6 +645,26 @@ def run_pipeline(
             p("nodes"), **nodes_kw,
         )
 
+    tbs = None
+    if triples_by_subj:
+        _stop_check()
+        # co-located with nodes: same bucket count, same long key domain
+        # (subj_num == the subject's id_num), so nodes⋈triples_by_subj
+        # plans exchange-free on both sides and "all triples of Q42" is
+        # one pruned bucket's sorted run (wdq2.pl:347-406 point query).
+        tbs_table = "kg_triples_subj_" + hashlib.md5(
+            os.path.abspath(out_dir).encode()
+        ).hexdigest()[:10]
+        tbs = _write_stage_bucketed(
+            spark, man, "triples_by_subj", fp,
+            lambda: canonical_triples.drop("_part_id").withColumn(
+                "subj_num",
+                F.regexp_extract("subj", r"^[QL](\d+)$", 1).try_cast("long"),
+            ),
+            p("triples_by_subj"), table=tbs_table, buckets=node_buckets,
+            bucket_col="subj_num", notify=notify,
+        )
+
     notify(f"pipeline finished stages={man.committed()}")
     out = {
         "extracted": parsed,
@@ -646,6 +678,8 @@ def run_pipeline(
     }
     if curate:
         out["docs_curated"] = docs_curated
+    if triples_by_subj:
+        out["triples_by_subj"] = tbs
     return out
 
 
@@ -673,6 +707,40 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def point_triples(spark: SparkSession, table: str, entity_id: str) -> DataFrame:
+    """All triples of ONE entity from the subject-bucketed layout — the
+    reference's per-entity point query (``wdq2.pl Q42``, wdq2.pl:347-406)
+    as one pruned bucket probe (``SelectedBucketsCount: 1 out of N``).
+
+    The filter prunes on ``subj_num`` (the bucket column) and exact-matches
+    ``subj`` (Q42 and L42 share a numeric id; the string match
+    disambiguates inside the one bucket).  Spark's
+    DisableUnnecessaryBucketedScan rule turns OFF the bucketed scan for a
+    bare filter (no join/agg needs the distribution), which would read
+    every bucket file — so the query executes eagerly inside a scoped
+    ``autoBucketedScan.enabled=false`` window (a point query's result is
+    bounded; eager execution is what pins the pruned plan)."""
+    import re
+
+    m = re.match(r"^([QL])(\d+)$", entity_id)
+    if not m:
+        raise ValueError(f"not an entity id: {entity_id!r}")
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return (
+            spark.table(table)
+            .filter(
+                (F.col("subj_num") == int(m.group(2)))
+                & (F.col("subj") == entity_id)
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(key, old)
 
 
 def register_kg_views(spark: SparkSession, tables: dict) -> list[str]:

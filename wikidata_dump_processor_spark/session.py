@@ -19,12 +19,21 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master=None`` (default): env ``SPARK_MASTER`` if set, else
+    ``local[cpus]``.  ``master=""``: leave the master to the launcher —
+    the spark-submit deployment path (north_rule: ``spark-submit
+    --py-files`` on a multi-executor cluster)."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    if master is None:
+        master = os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    b = SparkSession.builder
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        b.appName(app_name)
         # AQE: runtime coalesce + skew-join splitting (SURVEY.md §4 —
         # replaces the reference's hand-built hot-key handling,
         # cntprops.pl:16,68-77)
