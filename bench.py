@@ -20,6 +20,15 @@ baseline, letting any reader normalize the artifact.
 Set BENCH_ONLY=kg_pipeline to time only the pipeline and BENCH_REPS=1
 for single-shot (used by the scaling harness, tools/scaling_bench.py,
 which supplies its own interleaved protocol).
+
+Round-5 addition: unless BENCH_WEAK_WINDOW=0, the artifact also carries
+ONE paired weak-scaling window (the criterion-evidence formulation from
+SCALE.md / BENCH/BASELINE.md: data and cores grow together, N cores @
+n/4 pages vs 4N cores @ n pages, run back-to-back in fresh JVMs so
+window-scale host drift cancels inside the ratio) as
+``weak_eff_paired`` plus a same-window pure-CPU scale control — the
+round artifact alone evidences the >= 0.8 scaling criterion.  Raw
+window JSON goes to BENCH/runs/.
 """
 
 from __future__ import annotations
@@ -88,6 +97,91 @@ def _cpu_probe_allcore(nproc: int) -> float:
     [p.start() for p in ps]
     [p.join() for p in ps]
     return round(time.time() - t0, 3)
+
+
+def _cpu_scale_control(lo: int, hi: int, secs: float = 6.0) -> float:
+    """Pure-CPU scale control for the weak window: throughput of hi vs lo
+    busy-loop processes; 1.0 = the box itself scales cleanly lo->hi."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.time()
+        x = n = 0
+        while time.time() - t0 < secs:
+            for _ in range(100_000):
+                x = (x * 1103515245 + 12345) % (1 << 31)
+            n += 100_000
+        q.put(n)
+
+    tput = {}
+    for k in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
+        [p.start() for p in ps]
+        tput[k] = sum(q.get() for _ in ps) / secs
+        [p.join() for p in ps]
+    return round(tput[hi] / ((hi / lo) * tput[lo]), 3)
+
+
+def _weak_window(scratch: str) -> dict | None:
+    """One paired weak-scaling window in fresh JVMs: local[lo] @ n/4
+    pages, then local[hi] @ n pages, back-to-back.  Returns the raw
+    window dict (also archived under BENCH/runs/) or None on failure —
+    the bench line must print either way."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    lo, hi = (int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "2,8").split(","))
+    n = int(os.environ.get("BENCH_WEAK_PAGES", "0")) or 100_000
+    paths = {}
+    for label, rows in (("small", n // (hi // lo)), ("full", n)):
+        paths[label] = os.path.join(scratch, f"weak_pages_{label}")
+
+    def run_once(cpus: int, pages_path: str) -> dict:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            BENCH_ONLY="kg_pipeline",
+            BENCH_REPS="1",
+            BENCH_WEAK_WINDOW="0",  # no recursion
+            BENCH_PAGES_PATH=pages_path,
+            BENCH_SCRATCH=scratch,
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    try:
+        ctl_before = _cpu_scale_control(lo, hi)
+        r_lo = run_once(lo, paths["small"])
+        r_hi = run_once(hi, paths["full"])
+        ctl_after = _cpu_scale_control(lo, hi)
+        eff = round(
+            r_hi["pages_per_sec"] / ((hi / lo) * r_lo["pages_per_sec"]), 3
+        )
+        window = {
+            "levels": [lo, hi],
+            "pages": [n // (hi // lo), n],
+            "lo_pps": r_lo["pages_per_sec"],
+            "hi_pps": r_hi["pages_per_sec"],
+            "lo_wall_s": r_lo["queries"]["kg_pipeline"],
+            "hi_wall_s": r_hi["queries"]["kg_pipeline"],
+            "weak_eff_paired": eff,
+            "cpu_control_eff": [ctl_before, ctl_after],
+        }
+        runs_dir = os.path.join(repo, "BENCH", "runs")
+        os.makedirs(runs_dir, exist_ok=True)
+        with open(
+            os.path.join(runs_dir, f"weak_window_{int(time.time())}.json"), "w"
+        ) as f:
+            json.dump(window, f, indent=1)
+        return window
+    except Exception as e:  # noqa: BLE001 — bench line must still print
+        print(f"weak window failed: {e}", file=sys.stderr)
+        return None
 
 
 def main():
@@ -185,6 +279,20 @@ def main():
             all_reps[name] = reps
         take_control()
 
+    # --- paired weak-scaling window (fresh JVMs; main session stopped) ----
+    weak = None
+    if ONLY != "kg_pipeline" and os.environ.get("BENCH_WEAK_WINDOW", "1") != "0":
+        lo, hi = (
+            int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "2,8").split(",")
+        )
+        n_weak = int(os.environ.get("BENCH_WEAK_PAGES", "0")) or 100_000
+        for label, rows in (("small", n_weak // (hi // lo)), ("full", n_weak)):
+            datagen.gen_pages(spark, rows).write.mode("overwrite").parquet(
+                os.path.join(scratch, f"weak_pages_{label}")
+            )
+        spark.stop()  # nothing else may run during the paired window
+        weak = _weak_window(scratch)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -202,6 +310,8 @@ def main():
                 "reps": REPS,
                 "queries_all_reps": all_reps,
                 "control": control,
+                "weak_eff_paired": weak["weak_eff_paired"] if weak else None,
+                "weak_window": weak,
             }
         )
     )
