@@ -119,18 +119,37 @@ def test_rewrite_triples_shuffle_fallback(spark):
 
 
 def test_detect_mentions_alias_gate(spark, monkeypatch):
-    """Alias dictionaries over the driver-collect gate fail loudly instead
-    of OOMing the driver."""
+    """Over the driver-collect gate: the fused path's collect still fails
+    loudly (one automaton per pass), but detect_mentions now shards the
+    dictionary and unions the scans — output byte-identical to the
+    unsharded scan (VERDICT r4 #7)."""
     from wikidata_dump_processor_spark.operators import mentions as M
 
-    monkeypatch.setattr(M, "MAX_BROADCAST_ALIASES", 2)
     aliases = spark.createDataFrame(
-        [("a", "Q1", "en", True), ("b", "Q2", "en", True), ("c", "Q3", "en", True)],
+        [(a, f"Q{i}", "en", True)
+         for i, a in enumerate(["new york city", "new york", "york", "city hall", "hall"])],
         "alias string, id string, lang string, is_primary boolean",
     )
-    pages = spark.createDataFrame([("u", "a b c")], "url string, text string")
+    pages = spark.createDataFrame(
+        [("u1", "I left New York City Hall at noon"),
+         ("u2", "york and the city hall and new york")],
+        "url string, text string",
+    )
+    unsharded = sorted(map(tuple, M.detect_mentions(pages, aliases).collect()))
+
+    monkeypatch.setattr(M, "MAX_BROADCAST_ALIASES", 2)  # -> 3 shards of 5
     with pytest.raises(ValueError, match="alias dictionary"):
-        M.detect_mentions(pages, aliases)
+        M.broadcast_alias_list(aliases)
+    sharded_df = M.detect_mentions(pages, aliases)
+    # the sharded plan really scans in >= 2 passes
+    n_scans = sharded_df._jdf.queryExecution().executedPlan().toString().count(
+        "MapInPandas"
+    )
+    assert n_scans >= 2
+    assert sorted(map(tuple, sharded_df.collect())) == unsharded
+    # cross-shard overlap resolution: the longest surface wins globally
+    surfaces = {r.surface for r in sharded_df.filter("url = 'u1'").collect()}
+    assert "new york city" in surfaces and "new york" not in surfaces
 
 
 def test_canonicalization_on_shared_viaf(spark):

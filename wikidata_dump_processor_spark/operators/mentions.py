@@ -17,9 +17,11 @@ from __future__ import annotations
 import re
 from collections import deque
 from collections.abc import Iterator
+from functools import reduce
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..schemas import MENTIONS_SCHEMA
 
@@ -112,21 +114,49 @@ def broadcast_alias_list(aliases: DataFrame):
     if n_aliases > MAX_BROADCAST_ALIASES:
         raise ValueError(
             f"alias dictionary has {n_aliases} surfaces, over the "
-            f"{MAX_BROADCAST_ALIASES} driver-collect gate; shard the alias "
-            "table and union detect_mentions scans per shard"
+            f"{MAX_BROADCAST_ALIASES} driver-collect gate; the fused "
+            "extract_and_detect pass needs one automaton — pre-filter the "
+            "dictionary, or use detect_mentions, which shards automatically "
+            "(k scan passes + one mention-stream resolution)"
         )
     alias_list = [r.alias.lower() for r in distinct_aliases.collect()]
     return spark.sparkContext.broadcast(alias_list)
 
 
-def make_scanner(alias_list: list[str], force_automaton: bool = False):
+def _resolve_matches(matches: list[tuple[int, int, str]]) -> list[tuple[str, int, int]]:
+    """Longest-leftmost non-overlap resolution over raw (begin, end,
+    pattern) matches: sort by (begin, -len), drop overlaps.  Shared by
+    the single-dictionary kernel and the sharded-scan reducer — the SAME
+    function, so both paths resolve identically."""
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+    out: list[tuple[str, int, int]] = []
+    last_end = -1
+    for b, e, p in matches:
+        if b < last_end:
+            continue
+        last_end = e
+        out.append((p, b, e))
+    return out
+
+
+def make_scanner(
+    alias_list: list[str],
+    force_automaton: bool = False,
+    resolve: bool = True,
+):
     """Executor-side scan kernel: lowercased text -> [(surface, begin,
     end)].  Two kernels behind the same semantics (case-insensitive,
     word-bounded, longest-leftmost non-overlapping): a compiled
     alternation regex (C-speed, up to REGEX_DICT_LIMIT surfaces) and the
     Aho-Corasick automaton (linear in text, for web-scale dictionaries).
+
+    ``resolve=False`` (sharded mode): emit ALL word-bounded matches,
+    unresolved — the union of raw matches over dictionary shards equals
+    the raw-match set of the full dictionary, so overlap resolution must
+    run once, globally, after the union (a per-shard resolution could
+    drop matches differently than the full dictionary would).
     """
-    use_regex = (not force_automaton) and len(alias_list) <= REGEX_DICT_LIMIT
+    use_regex = resolve and (not force_automaton) and len(alias_list) <= REGEX_DICT_LIMIT
     rx = _compiled_alternation(alias_list) if use_regex else None
     ac = None if use_regex else AhoCorasick(alias_list)
 
@@ -134,37 +164,24 @@ def make_scanner(alias_list: list[str], force_automaton: bool = False):
         if rx is not None:
             return [(m.group(1), m.start(1), m.end(1)) for m in rx.finditer(low)]
         matches = [(b, e, p) for b, e, p in ac.find(low) if _word_bounded(low, b, e)]
-        # longest-leftmost: sort by (begin, -len), drop overlaps
-        matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
-        out: list[tuple[str, int, int]] = []
-        last_end = -1
-        for b, e, p in matches:
-            if b < last_end:
-                continue
-            last_end = e
-            out.append((p, b, e))
-        return out
+        if not resolve:
+            return [(p, b, e) for b, e, p in matches]
+        return _resolve_matches(matches)
 
     return scan
 
 
-def detect_mentions(
+def _scan_df(
     pages_text: DataFrame,
-    aliases: DataFrame,
-    text_col: str = "text",
-    force_automaton: bool = False,
+    bc,
+    text_col: str,
+    force_automaton: bool,
+    resolve: bool,
 ) -> DataFrame:
-    """(url, text) x alias dictionary -> (url, surface, begin, end).
-
-    Standalone form of the scan — ships the text column over the Arrow
-    bus a second time if the input was itself produced by a Python stage;
-    inside the pipeline prefer the fused
-    ``text_extract.extract_and_detect`` (one Arrow crossing per page).
-    """
-    bc = broadcast_alias_list(aliases)
+    """One mapInPandas scan pass with a broadcast dictionary."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kern = make_scanner(bc.value, force_automaton)
+        kern = make_scanner(bc.value, force_automaton, resolve=resolve)
         for pdf in batches:
             urls, surfaces, begins, ends = [], [], [], []
             for url, text in zip(pdf["url"], pdf[text_col]):
@@ -180,3 +197,67 @@ def detect_mentions(
             )
 
     return pages_text.select("url", text_col).mapInPandas(scan, schema=MENTIONS_SCHEMA)
+
+
+def _resolve_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-url longest-leftmost resolution of the unioned shard matches
+    (applyInPandas reducer; state bounded by one page's mentions)."""
+    ms = _resolve_matches(
+        [(int(b), int(e), s) for s, b, e in zip(pdf["surface"], pdf["begin"], pdf["end"])]
+    )
+    url = pdf["url"].iloc[0] if len(pdf) else None
+    return pd.DataFrame(
+        {
+            "url": [url] * len(ms),
+            "surface": [m[0] for m in ms],
+            "begin": [m[1] for m in ms],
+            "end": [m[2] for m in ms],
+        }
+    )
+
+
+def detect_mentions(
+    pages_text: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    force_automaton: bool = False,
+) -> DataFrame:
+    """(url, text) x alias dictionary -> (url, surface, begin, end).
+
+    Standalone form of the scan — ships the text column over the Arrow
+    bus a second time if the input was itself produced by a Python stage;
+    inside the pipeline prefer the fused
+    ``text_extract.extract_and_detect`` (one Arrow crossing per page).
+
+    Dictionaries over ``MAX_BROADCAST_ALIASES`` distinct surfaces shard
+    automatically: the dictionary is hash-partitioned into
+    ceil(n/gate) shards, each shard scans the corpus with its own
+    broadcast automaton emitting RAW word-bounded matches (the raw-match
+    union over shards IS the raw-match set of the full dictionary), and
+    one keyed applyInPandas pass re-applies the longest-leftmost
+    resolution per url — byte-identical output to the unsharded scan.
+    Cost: k corpus scans plus ONE shuffle of the mention stream (the
+    bounded mentions, never the text) — the price of a dictionary too
+    large for a single executor heap.
+    """
+    spark = pages_text.sparkSession
+    distinct = aliases.select(F.lower(F.col("alias")).alias("alias")).distinct()
+    n_aliases = distinct.count()
+    n_shards = max(1, -(-n_aliases // MAX_BROADCAST_ALIASES))
+    if n_shards == 1:
+        bc = spark.sparkContext.broadcast([r.alias for r in distinct.collect()])
+        return _scan_df(pages_text, bc, text_col, force_automaton, resolve=True)
+    shard_scans = []
+    for i in range(n_shards):
+        shard = [
+            r.alias
+            for r in distinct.filter(
+                F.pmod(F.xxhash64("alias"), F.lit(n_shards)) == i
+            ).collect()
+        ]
+        if not shard:
+            continue
+        bc = spark.sparkContext.broadcast(shard)
+        shard_scans.append(_scan_df(pages_text, bc, text_col, True, resolve=False))
+    raw = reduce(DataFrame.unionByName, shard_scans)
+    return raw.groupBy("url").applyInPandas(_resolve_group, schema=MENTIONS_SCHEMA)

@@ -175,12 +175,61 @@ def _decode_image_png_stdlib(payload: bytes) -> dict:
     return {"width": w, "height": h, "phash": bits}
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+# every SOF marker (baseline C0, extended C1, progressive C2, lossless C3,
+# differential/arithmetic C5-C7, C9-CB, CD-CF); C4=DHT, C8=JPG, CC=DAC are
+# not frame headers
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's SOF frame header — the
+    web's dominant image format, parsed with the standard library only.
+    Walks the marker segments (skipping APPn/DQT/DHT/...) to the first
+    SOFn; no entropy decode (that needs a codec), but the dimensions are
+    REAL, for baseline and progressive files alike."""
+    import struct
+
+    if payload[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        pos += 1
+        while pos < n and payload[pos] == 0xFF:  # fill bytes
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: past the headers
+            break
+        if pos + 2 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if marker in _JPEG_SOF:
+            if pos + 8 > n:
+                break
+            _prec, h, w, ncomp = struct.unpack(">BHHB", payload[pos + 2 : pos + 8])
+            return w, h, ncomp
+        pos += seglen
+    raise ValueError("no SOF marker found (truncated JPEG)")
+
+
 def _decode_image_stdlib(payload: bytes) -> dict:
     """No-image-libs tier: REAL decode for PNG payloads via
-    ``_decode_image_png_stdlib``, deterministic stub for everything else
-    (jpeg/webp/... need codecs this container lacks)."""
+    ``_decode_image_png_stdlib``; REAL dimensions for JPEG via the SOF
+    header parse (phash falls back to the deterministic payload hash —
+    a perceptual hash needs the full pixel decode); deterministic stub
+    for everything else (webp/... need codecs this container lacks)."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_image_png_stdlib(payload)
+    if payload[:2] == _JPEG_MAGIC:
+        w, h, _ = _jpeg_dimensions(payload)
+        return {"width": w, "height": h, "phash": _decode_image_stub(payload)["phash"]}
     return _decode_image_stub(payload)
 
 

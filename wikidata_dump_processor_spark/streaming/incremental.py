@@ -139,16 +139,106 @@ def streaming_exact_dedup(
     return q
 
 
-def new_snapshot_only(spark: SparkSession, path: str, seen_files: set[str]) -> DataFrame:
+def new_snapshot_only(
+    spark: SparkSession,
+    path: str,
+    seen_files: set[str],
+    schema=None,
+) -> DataFrame:
     """Batch-side incremental read: only files not in ``seen_files``
     (Iceberg's incremental snapshot read stood in by file-level diffing —
-    the rcsdiff change detection of wdq_fetcher.pl:90-144)."""
+    the rcsdiff change detection of wdq_fetcher.pl:90-144).  ``schema``
+    defaults to the pages schema; pass None-able explicit schemas for
+    stage outputs (or let ``schema=...`` carry any table shape)."""
     import glob
     import os
 
+    schema = schema or PAGES_SCHEMA
     files = [
         f for f in glob.glob(os.path.join(path, "*.parquet")) if f not in seen_files
     ]
     if not files:
-        return spark.createDataFrame([], PAGES_SCHEMA)
-    return spark.read.schema(PAGES_SCHEMA).parquet(*files)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def manifest_snapshot_files(out_dir: str, stage: str) -> set[str]:
+    """The ABSOLUTE file paths a committed stage snapshot consists of,
+    from the pipeline manifest's lineage metrics — the committed file
+    list is the snapshot identity, exactly what Iceberg's
+    ``start-snapshot-id`` incremental read keys on (MIGRATION.md maps
+    this operation 1:1).  ``new_snapshot_only(spark, stage_path,
+    manifest_snapshot_files(...))`` then reads precisely the files added
+    since that snapshot."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_pipeline_manifest.json")) as f:
+        entry = json.load(f)[stage]
+    base = entry["path"]
+    metrics = entry.get("metrics", {})
+    rels = metrics.get("files") or {
+        k: v for k, v in metrics.get("partitions", {}).items()
+        if k.endswith(".parquet")
+    }
+    return {os.path.join(base, rel) for rel in rels}
+
+
+def incremental_pipeline_run(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    aliases: DataFrame,
+    catalog: DataFrame | None = None,
+    **run_pipeline_kwargs,
+):
+    """St1+St3 outer-loop body over MANIFEST snapshots: diff the input
+    directory's parquet file list against every file recorded by earlier
+    committed runs (the ledger — the reference's 'which dumps did I
+    already process' check, wdq0.pl:86-115), run the full pipeline on
+    ONLY the new files into a fresh ``run_<k>`` snapshot directory, and
+    append the processed file list to the ledger.  Returns the
+    ``run_pipeline`` result dict (plus ``"run_dir"``/``"new_files"``)
+    or None when nothing is new — so re-running after an input append
+    yields exactly the delta rows downstream.
+
+    Each run's fingerprint is the hash of its new-file list, so a
+    crashed incremental run resumes idempotently (same delta -> same
+    fingerprint -> manifest resume), and the ledger only advances AFTER
+    the run commits."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from ..plans.pipeline import run_pipeline
+
+    os.makedirs(out_root, exist_ok=True)
+    ledger_path = os.path.join(out_root, "_incremental_ledger.json")
+    ledger = {"runs": []}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+    seen = {f for r in ledger["runs"] for f in r["files"]}
+    new = sorted(
+        f for f in glob.glob(os.path.join(input_dir, "*.parquet")) if f not in seen
+    )
+    if not new:
+        return None
+    run_dir = os.path.join(out_root, f"run_{len(ledger['runs']):05d}")
+    fp = "files=" + hashlib.md5(
+        "\n".join(os.path.basename(f) for f in new).encode()
+    ).hexdigest()[:12]
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(*new)
+    res = run_pipeline(
+        spark, pages, aliases, run_dir, catalog,
+        fingerprint=fp, **run_pipeline_kwargs,
+    )
+    ledger["runs"].append({"out_dir": run_dir, "fingerprint": fp, "files": new})
+    tmp = ledger_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f, indent=1)
+    os.replace(tmp, ledger_path)  # atomic, same discipline as the manifest
+    res["run_dir"] = run_dir
+    res["new_files"] = new
+    return res
