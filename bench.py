@@ -29,6 +29,18 @@ window-scale host drift cancels inside the ratio) as
 ``weak_eff_paired`` plus a same-window pure-CPU scale control — the
 round artifact alone evidences the >= 0.8 scaling criterion.  Raw
 window JSON goes to BENCH/runs/.
+
+Window protocol (must match the harness's criterion conditions, or the
+number is noise — a first single-cold-rep 2→8 variant measured 0.275
+and 1.615 in back-to-back windows):
+* levels default 1→4 (``BENCH_WEAK_LEVELS``) — the pair BELOW this
+  box's memory-bus saturation region, the formulation SCALE.md names
+  as criterion evidence (run M: 0.978); 2→8 shares one bandwidth
+  domain at the hi level and measures the bus, not the engine;
+* each child JVM runs ``BENCH_WEAK_REPS`` (default 3) reps and reports
+  the median — i.e. a WARM rep; a single cold rep mixes JIT/codegen
+  warm-up (a fixed cost, relatively larger at the small lo scale) into
+  the ratio.
 """
 
 from __future__ import annotations
@@ -131,8 +143,9 @@ def _weak_window(scratch: str) -> dict | None:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    lo, hi = (int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "2,8").split(","))
+    lo, hi = (int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "1,4").split(","))
     n = int(os.environ.get("BENCH_WEAK_PAGES", "0")) or 100_000
+    reps = os.environ.get("BENCH_WEAK_REPS", "3")
     paths = {}
     for label, rows in (("small", n // (hi // lo)), ("full", n)):
         paths[label] = os.path.join(scratch, f"weak_pages_{label}")
@@ -142,7 +155,7 @@ def _weak_window(scratch: str) -> dict | None:
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             BENCH_ONLY="kg_pipeline",
-            BENCH_REPS="1",
+            BENCH_REPS=reps,  # median over reps = a WARM rep (see docstring)
             BENCH_WEAK_WINDOW="0",  # no recursion
             BENCH_PAGES_PATH=pages_path,
             BENCH_SCRATCH=scratch,
@@ -283,7 +296,7 @@ def main():
     weak = None
     if ONLY != "kg_pipeline" and os.environ.get("BENCH_WEAK_WINDOW", "1") != "0":
         lo, hi = (
-            int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "2,8").split(",")
+            int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "1,4").split(",")
         )
         n_weak = int(os.environ.get("BENCH_WEAK_PAGES", "0")) or 100_000
         for label, rows in (("small", n_weak // (hi // lo)), ("full", n_weak)):

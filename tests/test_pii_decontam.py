@@ -1,0 +1,225 @@
+"""Golden tests for the PII scrubber and the benchmark-decontamination
+operator — both oracle-checked against independent pure-Python
+re-derivations (the same strategy as the repetition/canonical-url
+goldens; no driver slot, see the 50-query-cap note in
+queries_catalog.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark.operators import decontam as DC
+from wikidata_dump_processor_spark.operators import pii as P
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+_PII_DOCS = [
+    "Contact me at jane.doe+spam@example.co.uk or on 212-555-0187.",
+    "Server 192.168.0.1 and 10.0.0.255 but not 999.1.1.1 ok",
+    "SSN 123-45-6789 card 4111 1111 1111 1111 done",
+    "call +1 (415) 555-2671 now; backup (303) 555.0123",
+    "no pii here at all, just words and numbers like 12345",
+    "two mails: a@b.io c.d@e-f.org and ip 8.8.8.8",
+    "card glued 4111-1111-1111-1111 and bare 4242424242424242",
+    "almost-ssn 1234-45-6789 should not match; 987-65-4321 should",
+    "",
+    "edge 1.2.3.4.5 is not an ipv4; 255.255.255.255 is",
+]
+
+
+def _python_progressive(text: str):
+    """Independent oracle: the SAME pattern strings through Python re,
+    with the SAME progressive order (count on redacted-so-far text)."""
+    counts = {}
+    t = text
+    for name, (pat, repl) in P.PII_PATTERNS.items():
+        counts[name] = len(re.findall(pat, t))
+        t = re.sub(pat, repl, t)
+    return counts, t
+
+
+def test_pii_counts_and_redaction_golden(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_PII_DOCS)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in P.redact_pii(P.pii_counts(docs)).collect()
+    }
+    assert len(got) == len(_PII_DOCS)
+    for i, text in enumerate(_PII_DOCS):
+        counts, redacted = _python_progressive(text)
+        for name in P.PII_PATTERNS:
+            assert got[i][f"pii_{name}_count"] == counts[name], (i, name, text)
+        assert got[i].pii_total_count == sum(counts.values())
+        assert got[i].text_redacted == redacted, (i, text)
+    # the planted values really get scrubbed
+    joined = " ".join(r.text_redacted for r in got.values())
+    for needle in ("jane.doe", "192.168.0.1", "123-45-6789", "4111", "555-2671"):
+        assert needle not in joined
+    assert "<EMAIL>" in joined and "<CARD>" in joined and "<PHONE>" in joined
+
+
+def test_pii_specificity(spark):
+    """Attribution is one-type-per-match: a card number is credit_card
+    (not 2 phones), an SSN is ssn (not a phone fragment), and redaction
+    honors the type subset."""
+    docs = spark.createDataFrame(
+        [(1, "4111 1111 1111 1111 and 123-45-6789")], "doc_id long, text string"
+    )
+    r = P.pii_counts(docs).collect()[0]
+    assert r.pii_credit_card_count == 1
+    assert r.pii_ssn_count == 1
+    assert r.pii_phone_count == 0
+    only_ssn = P.redact_pii(docs, types=["ssn"]).collect()[0].text_redacted
+    assert "<SSN>" in only_ssn and "4111" in only_ssn
+    with pytest.raises(ValueError, match="unknown PII types"):
+        P.redact_pii(docs, types=["passport"])
+
+
+def test_pii_report_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_PII_DOCS)], "doc_id long, text string"
+    )
+    rep = {r.pii_type: r for r in P.pii_report(docs).collect()}
+    assert set(rep) == set(P.PII_PATTERNS) | {"any"}
+    exp = [_python_progressive(t)[0] for t in _PII_DOCS]
+    assert rep["email"].matches == sum(c["email"] for c in exp)
+    assert rep["any"].docs == sum(1 for c in exp if sum(c.values()) > 0)
+    assert rep["any"].total_docs == len(_PII_DOCS)
+
+
+def test_pii_plan_is_codegen(spark):
+    """100-TB gate: the whole PII pass is JVM expressions — no Python
+    evaluation node anywhere in the plan."""
+    docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = (
+        P.redact_pii(P.pii_counts(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _py_norm_tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = _py_norm_tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+_BENCH_ITEMS = [
+    "What is the capital of France? The capital of France is Paris, a city on the Seine.",
+    "Solve for x: two x plus three equals eleven so x equals four exactly here.",
+    "short item",  # < n tokens at n=8: contributes nothing
+]
+
+_CORPUS = [
+    (0, "Totally clean document about spark pipelines and parquet files at scale."),
+    # verbatim benchmark sentence embedded mid-document (punct/case differ)
+    (1, "Trivia corner!! the CAPITAL of france IS paris, a City on the seine -- enjoy."),
+    (2, "Discusses that two x plus three equals eleven so x equals four exactly here, leaked."),
+    (3, "Contains the words capital France Paris but never eight in a row from the item."),
+    (4, "short item"),  # matches a short benchmark item: must NOT flag at n=8
+    (5, ""),
+]
+
+
+@pytest.mark.parametrize("n", [8, 5])
+def test_decontamination_golden(spark, n):
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(t,) for t in _BENCH_ITEMS], "text string"
+    )
+    # independent oracle: python set overlap on string n-grams
+    bench_grams = set().union(*(_py_ngrams(t, n) for t in _BENCH_ITEMS))
+    exp = {
+        i: len([g for g in _ngram_list(t, n) if g in bench_grams])
+        for i, t in _CORPUS
+    }
+    exp = {i: c for i, c in exp.items() if c > 0}
+
+    got = {
+        r.doc_id: r.contaminated_grams
+        for r in DC.contamination_counts(docs, bench, n=n).collect()
+    }
+    assert got == exp
+    clean = {r.doc_id for r in DC.decontaminate(docs, bench, n=n).collect()}
+    assert clean == {i for i, _ in _CORPUS} - set(exp)
+
+
+def _ngram_list(text: str, n: int) -> list[str]:
+    toks = _py_norm_tokens(text)
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark):
+    """100-TB gate: the gram join must be a broadcast LEFT SEMI (the
+    corpus side is never shuffled to find matches) and gram generation
+    is pure JVM."""
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame([(t,) for t in _BENCH_ITEMS], "text string")
+    plan = (
+        DC.contamination_counts(docs, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# curation-chain integration
+# ---------------------------------------------------------------------------
+
+
+def test_curate_chain_decontam_and_pii(spark):
+    """The curation chain accepts a benchmark (drop reason
+    'contaminated', attributed after repetition and before near_dup) and
+    pii_redact=True (text_redacted transform, no drop-count effect)."""
+    from wikidata_dump_processor_spark.operators.curate import (
+        curate_documents,
+        curation_audit,
+    )
+
+    def good(i):
+        return " ".join(
+            f"the alpha{i}x{j} beta{j} of gamma{j} is delta{i}y{j}"
+            for j in range(15)
+        )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        ("https://ok.example/a", good(1) + " mail me a@b.co"),       # kept
+        ("https://ok.example/b", good(2) + " " + leak),              # contaminated
+        ("https://ok.example/c", "!!! ??? ###"),                     # quality
+    ]
+    docs = spark.createDataFrame(
+        [(u, None, "en", t) for u, t in rows],
+        "url string, warc_ts timestamp, lang string, text string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    flagged = curate_documents(
+        docs, benchmark=bench, decontam_ngram=6, pii_redact=True,
+    )
+    got = {r.url: r for r in flagged.collect()}
+    assert got["https://ok.example/a"]._drop_reason is None
+    assert got["https://ok.example/b"]._drop_reason == "contaminated"
+    assert got["https://ok.example/c"]._drop_reason == "quality"
+    # pii redaction is a transform on the flagged frame, all rows
+    assert got["https://ok.example/a"].text_redacted.endswith("<EMAIL>")
+    assert "a@b.co" not in got["https://ok.example/a"].text_redacted
+    audit = curation_audit(flagged)
+    assert audit["dropped"] == {"contaminated": 1, "quality": 1}
+    assert audit["kept"] == 1

@@ -22,9 +22,15 @@ survivors):
   2. exact_dup     same md5 of normalized text, not the keeper (min id)
   3. quality       heuristic quality score < ``quality_min``
   4. repetition    Gopher-style duplicate-line / top-bigram share gates
-  5. near_dup      has a smaller-id survivor with MinHash est-Jaccard
+  5. contaminated  (``benchmark`` given) shares a normalized n-gram with
+                   an evaluation benchmark item (operators/decontam.py)
+  6. near_dup      has a smaller-id survivor with MinHash est-Jaccard
                    >= ``minhash_threshold`` (greedy min-keeper list)
-  6. domain_quota  dropped by the head-domain cap (hash-Bernoulli path)
+  7. domain_quota  dropped by the head-domain cap (hash-Bernoulli path)
+
+``pii_redact=True`` additionally carries a ``text_redacted`` column
+(typed placeholder scrubbing, operators/pii.py) on the flagged frame —
+a transform, not a filter, so it affects no drop counts.
 
 Scale notes (100 TB): steps 1-4 are one narrow map plus two
 high-cardinality-key window shuffles (row_number over the dedup key —
@@ -44,13 +50,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.urls import with_canonical_url
+from .decontam import DEFAULT_NGRAM, contamination_counts
 from .dedup import minhash_lsh_pairs, normalize_text
+from .pii import redact_pii
 from .skew import domain_quota_sample
 from .textstats import quality_score, repetition_features
 
 DROP_REASONS = (
-    "url_dup", "exact_dup", "quality", "repetition", "near_dup",
-    "domain_quota",
+    "url_dup", "exact_dup", "quality", "repetition", "contaminated",
+    "near_dup", "domain_quota",
 )
 
 _FEATURE_COLS = (
@@ -71,6 +79,9 @@ def curate_documents(
     near_dup: bool = True,
     minhash_threshold: float = 0.7,
     domain_cap: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = DEFAULT_NGRAM,
+    pii_redact: bool = False,
     checkpoint: bool = True,
 ) -> DataFrame:
     """docs -> docs + curation features + ``_drop_reason`` (NULL = kept).
@@ -101,11 +112,34 @@ def curate_documents(
         )
     )
     d = d.withColumn("_drop_reason", base_reason).drop("_url_rank", "_fp_rank")
-    if checkpoint and (near_dup or domain_cap is not None):
+    if checkpoint and (near_dup or domain_cap is not None or benchmark is not None):
         # the survivor branches below re-read this frame; checkpoint so
         # the windows + quality features compute once (lazy: materialized
         # by the first action, shared by the rest)
         d = d.localCheckpoint(eager=False)
+    if benchmark is not None:
+        # decontaminate BEFORE the near-dup stage so the pair-generating
+        # LSH pass never sees benchmark-tainted survivors; the gram join
+        # broadcasts the benchmark so only the tainted sliver shuffles
+        surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
+        dirty = (
+            contamination_counts(
+                surv, benchmark, id_col=id_col, text_col=text_col, n=decontam_ngram
+            )
+            .select(F.col(id_col))
+            .withColumn("_ct", F.lit(True))
+        )
+        d = (
+            d.join(dirty, id_col, "left")
+            .withColumn(
+                "_drop_reason",
+                F.coalesce(
+                    F.col("_drop_reason"),
+                    F.when(F.col("_ct"), F.lit("contaminated")),
+                ),
+            )
+            .drop("_ct")
+        )
     if near_dup:
         surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
         pairs = minhash_lsh_pairs(
@@ -148,6 +182,8 @@ def curate_documents(
             )
             .drop("_dq")
         )
+    if pii_redact:
+        d = redact_pii(d, text_col=text_col)
     return d
 
 
