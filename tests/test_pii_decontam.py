@@ -223,3 +223,95 @@ def test_curate_chain_decontam_and_pii(spark):
     audit = curation_audit(flagged)
     assert audit["dropped"] == {"contaminated": 1, "quality": 1}
     assert audit["kept"] == 1
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+
+def _py_para_dedup(corpus, mode, min_count=2, min_para_chars=20):
+    """Independent oracle: same semantics in plain Python."""
+    def paras(t):
+        return [p.strip() for p in re.split(r"\n{2,}", t) if p.strip()]
+
+    def norm(p):
+        return re.sub(r"\s+", " ", p.lower()).strip()
+
+    occ = []  # (doc_id, idx, norm) for eligible paragraphs, doc order
+    for i, t in corpus:
+        for j, p in enumerate(paras(t)):
+            if len(p) >= min_para_chars:
+                occ.append((i, j, norm(p)))
+    from collections import Counter
+
+    cnt = Counter(n for _, _, n in occ)
+    drop = set()
+    if mode == "drop_frequent":
+        drop = {(i, j) for i, j, n in occ if cnt[n] >= min_count}
+    else:  # keep_first in (id, idx) order
+        seen = set()
+        for i, j, n in sorted(occ):
+            if n in seen:
+                drop.add((i, j))
+            seen.add(n)
+    out = {}
+    for i, t in corpus:
+        kept = [p for j, p in enumerate(paras(t)) if (i, j) not in drop]
+        out[i] = ("\n\n".join(kept), sum(1 for j, _ in enumerate(paras(t)) if (i, j) in drop))
+    return out
+
+
+_BOILER = "This website uses cookies to improve your experience on our site."
+_PARA_CORPUS = [
+    (0, f"Unique intro paragraph about volcanic rocks and minerals.\n\n{_BOILER}\n\nMore unique geology content follows here."),
+    (1, f"{_BOILER}\n\nAn entirely different essay on rivers and deltas in detail."),
+    (2, f"Short\n\n{_BOILER}\n\nShort\n\nClosing thoughts that appear nowhere else at all."),
+    (3, "A document with no duplicated paragraphs whatsoever, fully unique text."),
+    (4, "   \n\n  "),  # whitespace-only -> zero paragraphs
+    (5, f"Repeated-inside:\n\nSame inner paragraph appears twice in this one document.\n\nSame inner paragraph appears twice in this one document."),
+]
+
+
+@pytest.mark.parametrize("mode", ["drop_frequent", "keep_first"])
+def test_paragraph_dedup_golden(spark, mode):
+    from wikidata_dump_processor_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(_PARA_CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_para_dedup, r.n_paras_removed)
+        for r in paragraph_dedup(docs, mode=mode).collect()
+    }
+    exp = _py_para_dedup(_PARA_CORPUS, mode)
+    assert got == exp
+    # the boilerplate paragraph really is gone from every doc in
+    # drop_frequent mode, kept exactly once in keep_first mode
+    joined = "\n\n".join(t for t, _ in got.values())
+    if mode == "drop_frequent":
+        assert _BOILER not in joined
+    else:
+        assert joined.count(_BOILER) == 1
+    # 'Short' (< min_para_chars) is exempt despite appearing twice
+    assert got[2][0].count("Short") == 2
+    # in-doc repetition (corpus count 2): drop_frequent removes BOTH
+    # copies (boilerplate semantics); keep_first keeps exactly one
+    expected_copies = 0 if mode == "drop_frequent" else 1
+    assert got[5][0].count("Same inner paragraph") == expected_copies
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """100-TB gate: drop_frequent is window-free (mega-key safe, partial
+    agg) and the text column never reaches the drop-list aggregation."""
+    from wikidata_dump_processor_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(_PARA_CORPUS, "doc_id long, text string")
+    plan = (
+        paragraph_dedup(docs, mode="drop_frequent")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    plan_kf = (
+        paragraph_dedup(docs, mode="keep_first")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan_kf

@@ -463,10 +463,17 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     datagen.gen_pages(spark, 60).write.parquet(pages_dir)
     datagen.gen_aliases(spark).write.parquet(al_dir)
     datagen.gen_entity_catalog(spark).write.parquet(cat_dir)
+    bench_dir = str(tmp_path / "benchmark")
+    spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)],
+        "text string",
+    ).write.parquet(bench_dir)
     r = subprocess.run(
         [sys.executable, "-m", "wikidata_dump_processor_spark",
          pages_dir, out, "--aliases", al_dir, "--catalog", cat_dir,
-         "--cpus", "4", "--curate", "--fingerprint", "cli-test"],
+         "--cpus", "4", "--curate", "--pii-redact",
+         "--benchmark", bench_dir, "--decontam-ngram", "6",
+         "--fingerprint", "cli-test"],
         capture_output=True, text=True, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -480,3 +487,6 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     assert summary["curate_filters"]["input_rows"] > 0
     assert os.path.exists(os.path.join(out, MANIFEST))
     assert os.path.isdir(os.path.join(out, "docs_curated"))
+    # the CLI's --pii-redact flag reached the curation chain
+    cur = spark.read.parquet(os.path.join(out, "docs_curated"))
+    assert "text_redacted" in cur.columns

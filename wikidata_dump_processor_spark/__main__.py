@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="add the docs_curated training-data stage")
     p.add_argument("--domain-cap", type=int, default=None,
                    help="head-domain quota for --curate")
+    p.add_argument("--benchmark", default=None,
+                   help="parquet dir of benchmark texts: --curate drops "
+                        "documents sharing a normalized n-gram with them")
+    p.add_argument("--decontam-ngram", type=int, default=13,
+                   help="n-gram size for --benchmark decontamination")
+    p.add_argument("--pii-redact", action="store_true",
+                   help="--curate also carries a text_redacted column "
+                        "(typed PII placeholders)")
     p.add_argument("--triples-by-subj", action="store_true",
                    help="add the subject-bucketed triples layout")
     p.add_argument("--demo-pages", type=int, default=None,
@@ -86,9 +94,15 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--aliases is required unless --demo-pages is used")
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
 
-    curate_opts = (
-        {"domain_cap": args.domain_cap} if args.domain_cap is not None else None
-    )
+    curate_opts = {}
+    if args.domain_cap is not None:
+        curate_opts["domain_cap"] = args.domain_cap
+    if args.benchmark:
+        curate_opts["benchmark"] = spark.read.parquet(args.benchmark)
+        curate_opts["decontam_ngram"] = args.decontam_ngram
+    if args.pii_redact:
+        curate_opts["pii_redact"] = True
+    curate_opts = curate_opts or None
     res = run_pipeline(
         spark, pages, aliases, args.out, catalog,
         fingerprint=fp,

@@ -225,3 +225,104 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (corpus-wide boilerplate / repeated-span removal)
+# ---------------------------------------------------------------------------
+
+PARA_SPLIT = r"\n{2,}"
+
+
+def _para_array(text_col: str):
+    """array<string> of non-empty trimmed paragraphs (split on blank
+    lines) — the SAME derivation is used for hashing and reassembly, so
+    a rebuilt document is exactly its kept paragraphs joined by the
+    canonical separator."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), PARA_SPLIT), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "drop_frequent",
+    min_count: int = 2,
+    min_para_chars: int = 20,
+    out_col: str = "text_para_dedup",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup (the CCNet/C4-style pass): rewrite
+    each document with globally duplicated paragraphs removed, plus an
+    ``n_paras_removed`` count.
+
+    Two policies:
+
+    * ``drop_frequent`` (default, the 100 TB path): a paragraph whose
+      normalized form occurs >= ``min_count`` times in the corpus is
+      removed EVERYWHERE (boilerplate removal).  Pure hash aggregate —
+      partial (map-side) aggregation absorbs any mega-key, no sort, no
+      window; the classic navbar-paragraph-in-10^9-docs key costs one
+      combiner row per task.
+    * ``keep_first`` (exact CCNet semantics): the first occurrence in
+      (id, position) order survives, later ones are removed.  Needs a
+      row_number window over the paragraph hash — a mega-key sorts its
+      whole group in one task, so this mode is for moderate scale or
+      post-``drop_frequent`` residues.
+
+    Paragraphs shorter than ``min_para_chars`` are exempt (headings like
+    'Introduction' would otherwise be mass-removed).
+
+    Scale notes: only ``(id, idx, hash)`` triples ever shuffle — the
+    text column stays in place; the final keep-mask join is on the
+    bounded drop-list (docs that lose at least one paragraph), and the
+    paragraph filter/reassembly is a JVM higher-order expression.
+    """
+    if mode not in ("drop_frequent", "keep_first"):
+        raise ValueError(f"unknown mode: {mode}")
+    from pyspark.sql.window import Window
+
+    paras = docs.select(
+        F.col(id_col), F.posexplode(_para_array(text_col)).alias("idx", "para")
+    ).select(
+        id_col,
+        "idx",
+        F.xxhash64(normalize_text(F.col("para"))).alias("h"),
+        F.length("para").alias("n_chars"),
+    )
+    eligible = paras.filter(F.col("n_chars") >= min_para_chars)
+    if mode == "drop_frequent":
+        freq = (
+            eligible.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+        )
+        drops = eligible.join(freq.select("h"), "h", "left_semi")
+    else:
+        w = Window.partitionBy("h").orderBy(id_col, "idx")
+        drops = (
+            eligible.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+        )
+    drop_idx = drops.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("idx")).alias("_drop_idxs")
+    )
+    rebuilt = docs.join(drop_idx, id_col, "left")
+    kept = F.filter(
+        _para_array(text_col),
+        lambda p, i: ~F.array_contains(F.col("_drop_idxs"), i),
+    )
+    return (
+        rebuilt.withColumn(
+            out_col,
+            F.when(F.col("_drop_idxs").isNull(), F.concat_ws("\n\n", _para_array(text_col)))
+            .otherwise(F.concat_ws("\n\n", kept)),
+        )
+        .withColumn(
+            "n_paras_removed",
+            F.coalesce(F.size("_drop_idxs"), F.lit(0)),
+        )
+        .drop("_drop_idxs")
+    )
