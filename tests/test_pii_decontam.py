@@ -315,3 +315,72 @@ def test_paragraph_dedup_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in plan_kf
+
+
+def test_contamination_report_per_item(spark):
+    """Per-item leak report: rows only for leaked items, with distinct
+    leaked-doc counts and raw gram-hit counts matching the oracle."""
+    n = 8
+    docs = spark.createDataFrame(_CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BENCH_ITEMS)], "item_id long, text string"
+    )
+    got = {
+        r.bench_id: (r.leaked_docs, r.gram_hits)
+        for r in DC.contamination_report(
+            docs, bench, bench_id_col="item_id", n=n
+        ).collect()
+    }
+    # oracle: for each item, the docs/gram-occurrence hits of its grams
+    exp = {}
+    for i, bt in enumerate(_BENCH_ITEMS):
+        bg = _py_ngrams(bt, n)
+        leaked, hits = set(), 0
+        for d, t in _CORPUS:
+            match = [g for g in _ngram_list(t, n) if g in bg]
+            if match:
+                leaked.add(d)
+                hits += len(match)
+        if leaked:
+            exp[i] = (len(leaked), hits)
+    assert got == exp and exp  # items 0 and 1 leak, the short item never
+
+
+def test_pii_randomized_parity(spark):
+    """Seeded randomized parity: 300 messy synthetic texts (vocab +
+    planted/near-miss PII fragments) must produce IDENTICAL counts and
+    redactions from the Spark JVM regex and the Python re oracle —
+    guards the Java/Python pattern-subset claim beyond handpicked
+    fixtures."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["alpha", "beta", "contact", "12", "x9", "mail", ".", "-", "(", ")"]
+    frags = [
+        lambda: f"{rng.choice('abc')}@{rng.choice('de')}.{rng.choice(['io', 'org', 'c'])}",
+        lambda: ".".join(str(rng.randint(0, 300)) for _ in range(rng.randint(3, 5))),
+        lambda: "-".join(str(rng.randint(0, 9999)) for _ in range(rng.randint(2, 4))),
+        lambda: f"{rng.randint(100, 999)}-{rng.randint(10, 99)}-{rng.randint(1000, 9999)}",
+        lambda: " ".join(str(rng.randint(1000, 9999)) for _ in range(4)),
+        lambda: f"+1 ({rng.randint(100, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
+        lambda: str(rng.randint(0, 10**rng.randint(1, 18))),
+    ]
+    texts = []
+    for _ in range(300):
+        parts = [
+            frags[rng.randrange(len(frags))]() if rng.random() < 0.4
+            else rng.choice(vocab)
+            for _ in range(rng.randint(0, 25))
+        ]
+        texts.append(rng.choice(["", " "]).join(parts))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r for r in P.redact_pii(P.pii_counts(docs)).collect()
+    }
+    for i, text in enumerate(texts):
+        counts, redacted = _python_progressive(text)
+        for name in P.PII_PATTERNS:
+            assert got[i][f"pii_{name}_count"] == counts[name], (i, name, repr(text))
+        assert got[i].text_redacted == redacted, (i, repr(text))

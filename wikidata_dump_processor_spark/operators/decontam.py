@@ -86,6 +86,42 @@ def contamination_counts(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Per benchmark item: how many documents leak it and how hard —
+    ``(bench_id, leaked_docs, gram_hits)``, rows only for items with at
+    least one hit.  The eval-suite owner's view of the same join:
+    grams are tagged with their item id (``bench_id_col``, defaulting
+    to ``xxhash64(text)``), the corpus explodes narrowly into a
+    broadcast INNER join, and the bounded hit stream aggregates per
+    item.  A gram shared by several items credits each (hits are
+    per-(item, doc-gram) pairs)."""
+    bid = (
+        F.col(bench_id_col)
+        if bench_id_col
+        else F.xxhash64(F.col(text_col)).alias("bench_id")
+    )
+    bench = benchmark.select(
+        bid.alias("bench_id") if bench_id_col else bid,
+        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
+    )
+    hits = doc_grams.join(F.broadcast(bench), "gram_hash")
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct(id_col).alias("leaked_docs"),
+        F.count(F.lit(1)).alias("gram_hits"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
