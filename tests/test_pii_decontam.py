@@ -384,3 +384,47 @@ def test_pii_randomized_parity(spark):
         for name in P.PII_PATTERNS:
             assert got[i][f"pii_{name}_count"] == counts[name], (i, name, repr(text))
         assert got[i].text_redacted == redacted, (i, repr(text))
+
+
+def test_curate_chain_para_dedup_prepass(spark):
+    """para_dedup=True strips corpus-wide boilerplate BEFORE the filter
+    chain (drop_frequent: any paragraph shared by >= 2 docs goes), the
+    original text survives in text_orig, and downstream filters judge
+    the stripped text — a boilerplate-only doc becomes empty and falls
+    to the quality gate."""
+    from wikidata_dump_processor_spark.operators.curate import (
+        curate_documents,
+        curation_audit,
+    )
+
+    def body(tag):
+        return " ".join(
+            f"the {tag}{j} word{j} of thing{tag}{j} is value{tag}{j}"
+            for j in range(15)
+        )
+
+    boiler = "This website uses cookies to improve your experience on our site."
+    rows = [
+        ("https://a.example/1", f"{body('a')}\n\n{boiler}"),
+        ("https://b.example/2", f"{boiler}\n\n{body('b')}"),
+        ("https://c.example/3", f"{body('c')}"),
+        ("https://d.example/4", boiler),  # boilerplate-only -> empty
+    ]
+    docs = spark.createDataFrame(
+        [(u, None, "en", t) for u, t in rows],
+        "url string, warc_ts timestamp, lang string, text string",
+    )
+    flagged = curate_documents(docs, near_dup=False, para_dedup=True)
+    got = {r.url: r for r in flagged.collect()}
+    for u, orig in rows:
+        assert boiler not in (got[u].text or "")
+        assert got[u].text_orig == orig
+    assert got["https://a.example/1"].n_paras_removed == 1
+    assert got["https://b.example/2"].n_paras_removed == 1
+    assert got["https://c.example/3"].n_paras_removed == 0
+    # unique bodies survive every gate; the emptied doc falls to quality
+    assert got["https://a.example/1"]._drop_reason is None
+    assert got["https://b.example/2"]._drop_reason is None
+    assert got["https://c.example/3"]._drop_reason is None
+    assert got["https://d.example/4"]._drop_reason == "quality"
+    assert curation_audit(flagged)["dropped"] == {"quality": 1}

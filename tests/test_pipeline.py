@@ -471,7 +471,7 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "wikidata_dump_processor_spark",
          pages_dir, out, "--aliases", al_dir, "--catalog", cat_dir,
-         "--cpus", "4", "--curate", "--pii-redact",
+         "--cpus", "4", "--curate", "--pii-redact", "--para-dedup",
          "--benchmark", bench_dir, "--decontam-ngram", "6",
          "--fingerprint", "cli-test"],
         capture_output=True, text=True, timeout=600,

@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pii-redact", action="store_true",
                    help="--curate also carries a text_redacted column "
                         "(typed PII placeholders)")
+    p.add_argument("--para-dedup", action="store_true",
+                   help="--curate strips corpus-wide duplicated "
+                        "paragraphs (boilerplate) before the filters")
     p.add_argument("--triples-by-subj", action="store_true",
                    help="add the subject-bucketed triples layout")
     p.add_argument("--demo-pages", type=int, default=None,
@@ -102,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         curate_opts["decontam_ngram"] = args.decontam_ngram
     if args.pii_redact:
         curate_opts["pii_redact"] = True
+    if args.para_dedup:
+        curate_opts["para_dedup"] = True
     curate_opts = curate_opts or None
     res = run_pipeline(
         spark, pages, aliases, args.out, catalog,

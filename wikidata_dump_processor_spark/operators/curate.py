@@ -20,7 +20,9 @@ survivors):
 
   1. url_dup       same ``canonical_url`` key, not the keeper (min id)
   2. exact_dup     same md5 of normalized text, not the keeper (min id)
-  3. quality       heuristic quality score < ``quality_min``
+  3. quality       heuristic quality score < ``quality_min`` OR
+                   trimmed length < ``min_chars`` (catches docs emptied
+                   by the paragraph-dedup pre-pass)
   4. repetition    Gopher-style duplicate-line / top-bigram share gates
   5. contaminated  (``benchmark`` given) shares a normalized n-gram with
                    an evaluation benchmark item (operators/decontam.py)
@@ -31,6 +33,9 @@ survivors):
 ``pii_redact=True`` additionally carries a ``text_redacted`` column
 (typed placeholder scrubbing, operators/pii.py) on the flagged frame —
 a transform, not a filter, so it affects no drop counts.
+``para_dedup=True`` rewrites the text with corpus-wide duplicated
+paragraphs removed BEFORE step 1 (also a transform; original kept in
+``text_orig``) so every filter judges boilerplate-stripped text.
 
 Scale notes (100 TB): steps 1-4 are one narrow map plus two
 high-cardinality-key window shuffles (row_number over the dedup key —
@@ -74,6 +79,7 @@ def curate_documents(
     text_col: str = "text",
     url_col: str = "url",
     quality_min: float = 0.2,
+    min_chars: int = 20,
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.18,
     near_dup: bool = True,
@@ -82,6 +88,8 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     decontam_ngram: int = DEFAULT_NGRAM,
     pii_redact: bool = False,
+    para_dedup: bool = False,
+    para_dedup_opts: dict | None = None,
     checkpoint: bool = True,
 ) -> DataFrame:
     """docs -> docs + curation features + ``_drop_reason`` (NULL = kept).
@@ -90,7 +98,27 @@ def curate_documents(
     ``filter(_drop_reason IS NULL)``; ``curation_audit`` turns the same
     frame into per-filter drop counts.  ``domain_cap=None`` disables the
     quota step, ``near_dup=False`` the LSH step.
+
+    ``para_dedup=True`` runs corpus-wide paragraph dedup
+    (``dedup.paragraph_dedup``, drop_frequent mode unless overridden via
+    ``para_dedup_opts``) as a PRE-pass: downstream filters (exact dedup,
+    quality, repetition, near-dup) then judge the boilerplate-stripped
+    text — the standard order, since shared navbars/cookie banners would
+    otherwise both mask exact duplicates (differing boilerplate) and
+    manufacture near-duplicates (shared boilerplate).  The original text
+    is preserved in ``text_orig``; ``n_paras_removed`` rides along.
     """
+    if para_dedup:
+        from .dedup import paragraph_dedup
+
+        docs = (
+            paragraph_dedup(
+                docs, id_col=id_col, text_col=text_col,
+                out_col="text_para_dedup", **(para_dedup_opts or {}),
+            )
+            .withColumnRenamed(text_col, "text_orig")
+            .withColumnRenamed("text_para_dedup", text_col)
+        )
     d = with_canonical_url(docs, url_col=url_col)
     # keeper pick per dedup key: row_number over (key -> min id).  The
     # window partitions on a near-unique key, so no partition is wider
@@ -104,7 +132,11 @@ def curate_documents(
     base_reason = (
         F.when(F.col("_url_rank") > 1, F.lit("url_dup"))
         .when(F.col("_fp_rank") > 1, F.lit("exact_dup"))
-        .when(F.col("quality") < quality_min, F.lit("quality"))
+        .when(
+            (F.length(F.trim(F.col(text_col))) < min_chars)
+            | (F.col("quality") < quality_min),
+            F.lit("quality"),
+        )
         .when(
             (F.col("dup_line_frac") > max_dup_line_frac)
             | (F.col("top_bigram_frac") > max_top_bigram_frac),
