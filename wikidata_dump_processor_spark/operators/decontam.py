@@ -43,8 +43,19 @@ def _norm_tokens(text: Column) -> Column:
 
 def ngram_hashes(text: Column, n: int = DEFAULT_NGRAM) -> Column:
     """array<bigint> of xxhash64 over each n-token window of the
-    normalized text; empty when the text has fewer than ``n`` tokens."""
+    normalized text; empty when the text has fewer than ``n`` tokens.
+
+    Column-level form for composition.  The operators below do NOT call
+    this on the raw text column: referencing ``toks`` three times inside
+    one nested expression re-tokenizes the document per reference
+    (codegen CSE does not span the generate node), measured 7x slower at
+    sf0.1 — they stage the token array through ``_gram_rows``'s two-step
+    projection instead."""
     toks = _norm_tokens(text)
+    return _grams_of(toks, n)
+
+
+def _grams_of(toks: Column, n: int) -> Column:
     starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))
@@ -54,16 +65,23 @@ def ngram_hashes(text: Column, n: int = DEFAULT_NGRAM) -> Column:
     )
 
 
+def _gram_rows(
+    df: DataFrame, keep_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(*keep_cols, gram_hash) — one row per n-gram window.  Tokenizes
+    ONCE per document (separate projection materializes the token
+    array before the gram transform + explode reference it)."""
+    toks = df.select(*keep_cols, _norm_tokens(F.col(text_col)).alias("_toks"))
+    return toks.select(
+        *keep_cols, F.explode(_grams_of(F.col("_toks"), n)).alias("gram_hash")
+    )
+
+
 def benchmark_ngram_table(
     benchmark: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
 ) -> DataFrame:
     """DISTINCT n-gram hashes of the benchmark — the broadcast side."""
-    return (
-        benchmark.select(
-            F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash")
-        )
-        .distinct()
-    )
+    return _gram_rows(benchmark, [], text_col, n).distinct()
 
 
 def contamination_counts(
@@ -76,10 +94,7 @@ def contamination_counts(
     """(id, contaminated_grams) for every document with at least one
     n-gram hit in the benchmark.  Docs absent from the result are clean."""
     bench = benchmark_ngram_table(benchmark, text_col, n)
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
-    )
+    doc_grams = _gram_rows(docs, [id_col], text_col, n)
     hits = doc_grams.join(F.broadcast(bench), "gram_hash", "left_semi")
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("contaminated_grams")
@@ -103,18 +118,12 @@ def contamination_report(
     item.  A gram shared by several items credits each (hits are
     per-(item, doc-gram) pairs)."""
     bid = (
-        F.col(bench_id_col)
-        if bench_id_col
-        else F.xxhash64(F.col(text_col)).alias("bench_id")
-    )
-    bench = benchmark.select(
-        bid.alias("bench_id") if bench_id_col else bid,
-        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
+        F.col(bench_id_col) if bench_id_col else F.xxhash64(F.col(text_col))
+    ).alias("bench_id")
+    bench = _gram_rows(
+        benchmark.select(bid, text_col), ["bench_id"], text_col, n
     ).distinct()
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
-    )
+    doc_grams = _gram_rows(docs, [id_col], text_col, n)
     hits = doc_grams.join(F.broadcast(bench), "gram_hash")
     return hits.groupBy("bench_id").agg(
         F.countDistinct(id_col).alias("leaked_docs"),
