@@ -1,0 +1,104 @@
+"""k-hop neighborhood extraction (operators/graph.py) — golden-checked
+against an independent Python BFS over the same triple set, on the
+deterministic pipeline-derived triples (the reference's point-query
+generalization, wdq2.pl:347-406)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark import datagen
+from wikidata_dump_processor_spark.operators import triples as TR
+from wikidata_dump_processor_spark.operators.graph import (
+    ENTITY_RE,
+    k_hop_subgraph,
+    neighborhood_sizes,
+)
+from wikidata_dump_processor_spark.operators.text_extract import extract_text
+
+
+@pytest.fixture(scope="module")
+def triple_rows(spark):
+    pages = datagen.gen_pages(spark, 300)
+    tr = TR.extract_triples(TR.parse_entities(extract_text(pages))).select(
+        "subj", "pred", "obj"
+    ).distinct().localCheckpoint(eager=True)
+    return tr, [(r.subj, r.pred, r.obj) for r in tr.collect()]
+
+
+def _py_k_hop(rows, seeds, k, directed=True):
+    """Independent oracle: plain-Python BFS, hop 1 = seeds' own triples."""
+    ent = re.compile(r"^[QL]\d+$")
+    out_adj: dict = {}
+    in_adj: dict = {}
+    for s, p, o in rows:
+        if not ent.match(s):
+            continue
+        out_adj.setdefault(s, []).append((s, p, o))
+        if ent.match(o):
+            in_adj.setdefault(o, []).append((s, p, o))
+    sub, visited, frontier = set(), set(seeds), set(seeds)
+    for _ in range(k):
+        nxt = set()
+        hop = set()
+        for f in frontier:
+            hop.update(out_adj.get(f, []))
+            if not directed:
+                hop.update(in_adj.get(f, []))
+        sub.update(hop)
+        for s, p, o in hop:
+            if ent.match(o):
+                nxt.add(o)
+            if not directed:
+                nxt.add(s)
+        frontier = nxt - visited
+        visited |= frontier
+        if not frontier:
+            break
+    return sub
+
+
+@pytest.mark.parametrize("k,directed", [(1, True), (2, True), (3, True), (2, False)])
+def test_k_hop_golden(spark, triple_rows, k, directed):
+    tr, rows = triple_rows
+    seeds = ["Q10", "Q23"]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in k_hop_subgraph(tr, seeds, k=k, directed=directed).collect()
+    }
+    exp = _py_k_hop(rows, seeds, k, directed)
+    assert got == exp and exp
+    # k=1 directed is exactly the seeds' own triples (the point query)
+    if k == 1 and directed:
+        assert {s for s, _, _ in got} <= set(seeds)
+
+
+def test_k_hop_edge_cases(spark, triple_rows):
+    tr, rows = triple_rows
+    # unknown seed: empty subgraph, no crash
+    assert k_hop_subgraph(tr, ["Q999999999"], k=3).count() == 0
+    # DataFrame seeds accepted
+    seeds_df = spark.createDataFrame([("Q10",)], "id string")
+    a = {tuple(r) for r in k_hop_subgraph(tr, seeds_df, k=2).collect()}
+    b = _py_k_hop(rows, ["Q10"], 2)
+    assert a == b
+    # frontier gate fails loudly
+    with pytest.raises(ValueError, match="max_frontier"):
+        k_hop_subgraph(tr, ["Q10"], k=4, max_frontier=1)
+    # sizes helper matches the subgraph
+    sizes = neighborhood_sizes(tr, ["Q10"], k=2)
+    sub = _py_k_hop(rows, ["Q10"], 2)
+    ents = {s for s, _, _ in sub} | {
+        o for _, _, o in sub if re.match(r"^[QL]\d+$", o)
+    }
+    assert sizes == {"triples": len(sub), "entities": len(ents)}
+
+
+def test_k_hop_plan_broadcasts_small_frontier(spark, triple_rows):
+    tr, _ = triple_rows
+    plan = (
+        k_hop_subgraph(tr, ["Q10"], k=1, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
