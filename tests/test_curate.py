@@ -142,3 +142,24 @@ def test_pipeline_curate_stage_resume(spark, tmp_path):
     assert man3["curate"]["state"] == "committed"
     assert man3["extract"]["committed_at"] == man["extract"]["committed_at"]
     assert res3["docs_curated"].count() == filt["kept"]
+
+
+def test_pipeline_curate_pii_manifest_metrics(spark, tmp_path):
+    """pii_redact=True surfaces the PII audit in the curate stage's
+    manifest metrics (matches/docs per type over the kept corpus)."""
+    from wikidata_dump_processor_spark import datagen
+    from wikidata_dump_processor_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg")
+    res = run_pipeline(
+        spark, datagen.gen_pages(spark, 40).localCheckpoint(eager=True),
+        datagen.gen_aliases(spark), out, fingerprint="pii-m",
+        curate=True, curate_opts={"pii_redact": True, "near_dup": False},
+    )
+    m = res["manifest"].stages["curate"]["metrics"]
+    assert "pii" in m and "any" in m["pii"]
+    assert set(m["pii"]["any"]) == {"matches", "docs"}
+    # the audit is over the KEPT corpus: docs bound by kept count
+    assert m["pii"]["any"]["docs"] <= m["filters"]["kept"]
+    cur = spark.read.parquet(os.path.join(out, "docs_curated"))
+    assert "text_redacted" in cur.columns

@@ -428,3 +428,37 @@ def test_curate_chain_para_dedup_prepass(spark):
     assert got["https://c.example/3"]._drop_reason is None
     assert got["https://d.example/4"]._drop_reason == "quality"
     assert curation_audit(flagged)["dropped"] == {"quality": 1}
+
+
+@pytest.mark.parametrize("mode", ["drop_frequent", "keep_first"])
+def test_paragraph_dedup_randomized_parity(spark, mode):
+    """Seeded randomized parity for paragraph dedup: 120 docs built from
+    a small paragraph pool (forcing cross-doc collisions, short-para
+    exemptions, empty docs) must match the Python oracle exactly in both
+    modes."""
+    import random
+
+    rng = random.Random(20260818)
+    pool = [
+        f"shared paragraph number {i} with enough characters to count here"
+        for i in range(12)
+    ] + ["tiny", "also-tiny"]  # below min_para_chars: exempt
+
+    def make_doc(i):
+        k = rng.randint(0, 6)
+        paras = [rng.choice(pool) for _ in range(k)]
+        if rng.random() < 0.5:
+            paras.append(f"unique paragraph for document {i} padded to length")
+        rng.shuffle(paras)
+        return "\n\n".join(paras)
+
+    corpus = [(i, make_doc(i)) for i in range(120)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    from wikidata_dump_processor_spark.operators.dedup import paragraph_dedup
+
+    got = {
+        r.doc_id: (r.text_para_dedup, r.n_paras_removed)
+        for r in paragraph_dedup(docs, mode=mode).collect()
+    }
+    exp = _py_para_dedup(corpus, mode)
+    assert got == exp

@@ -525,11 +525,27 @@ def run_pipeline(
                     ),
                     **(curate_opts or {}),
                 )
+                def _curate_metrics():
+                    m = {"filters": curation_audit(flagged)}
+                    if (curate_opts or {}).get("pii_redact"):
+                        # what the redaction removed, in the manifest:
+                        # bounded report (len(PII_PATTERNS)+1 rows) over
+                        # the KEPT corpus
+                        from ..operators.pii import pii_report
+
+                        m["pii"] = {
+                            r.pii_type: {"matches": r.matches, "docs": r.docs}
+                            for r in pii_report(
+                                flagged.filter(F.col("_drop_reason").isNull())
+                            ).collect()
+                        }
+                    return m
+
                 return _write_stage(
                     spark, man, "curate", fp,
                     lambda: curated_only(flagged),
                     p("docs_curated"),
-                    extra_metrics_fn=lambda: {"filters": curation_audit(flagged)},
+                    extra_metrics_fn=_curate_metrics,
                     notify=notify,
                 )
 
