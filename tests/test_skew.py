@@ -146,9 +146,11 @@ def test_domain_quota_sample_approx_rate(spark):
 
 
 def test_with_salt_never_hashes_payload(spark):
-    """VERDICT r4 #6: the default salt is round-robin (no content hash at
-    all); the deterministic variant hashes ONLY the named columns — a
-    wide text payload never enters the salt expression."""
+    """VERDICT r4 #6: the default salt is partition-local (no content
+    hash at all — and retry-stable, unlike a monotonically_increasing_id
+    round-robin); the content-deterministic variant hashes ONLY the
+    named columns — a wide text payload never enters the salt
+    expression."""
     df = spark.createDataFrame(
         [(1, "x" * 1000, 2)], "k int, text string, v long"
     )

@@ -66,13 +66,6 @@ DROP_REASONS = (
     "near_dup", "domain_quota",
 )
 
-_FEATURE_COLS = (
-    "n_chars", "n_tokens", "mean_word_len", "punct_ratio", "upper_ratio",
-    "digit_ratio", "stopword_ratio", "quality", "dup_line_frac",
-    "dup_line_char_frac", "dup_para_frac", "top_bigram_frac",
-)
-
-
 def curate_documents(
     docs: DataFrame,
     id_col: str = "url",

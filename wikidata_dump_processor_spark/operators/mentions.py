@@ -241,23 +241,34 @@ def detect_mentions(
     large for a single executor heap.
     """
     spark = pages_text.sparkSession
-    distinct = aliases.select(F.lower(F.col("alias")).alias("alias")).distinct()
+    # persist: the count + every per-shard collect below re-reads this
+    # distinct — without it a 20M-surface dictionary pays k+1 full
+    # aggregation jobs over the alias table
+    distinct = (
+        aliases.select(F.lower(F.col("alias")).alias("alias")).distinct().persist()
+    )
     n_aliases = distinct.count()
     n_shards = max(1, -(-n_aliases // MAX_BROADCAST_ALIASES))
-    if n_shards == 1:
-        bc = spark.sparkContext.broadcast([r.alias for r in distinct.collect()])
-        return _scan_df(pages_text, bc, text_col, force_automaton, resolve=True)
-    shard_scans = []
-    for i in range(n_shards):
-        shard = [
-            r.alias
-            for r in distinct.filter(
-                F.pmod(F.xxhash64("alias"), F.lit(n_shards)) == i
-            ).collect()
-        ]
-        if not shard:
-            continue
-        bc = spark.sparkContext.broadcast(shard)
-        shard_scans.append(_scan_df(pages_text, bc, text_col, True, resolve=False))
+    try:
+        if n_shards == 1:
+            bc = spark.sparkContext.broadcast(
+                [r.alias for r in distinct.collect()]
+            )
+            return _scan_df(pages_text, bc, text_col, force_automaton, resolve=True)
+        shard_scans = []
+        for i in range(n_shards):
+            shard = [
+                r.alias
+                for r in distinct.filter(
+                    F.pmod(F.xxhash64("alias"), F.lit(n_shards)) == i
+                ).collect()
+            ]
+            if not shard:
+                continue
+            bc = spark.sparkContext.broadcast(shard)
+            shard_scans.append(_scan_df(pages_text, bc, text_col, True, resolve=False))
+    finally:
+        # the scans reference only the broadcasts, never this plan
+        distinct.unpersist()
     raw = reduce(DataFrame.unionByName, shard_scans)
     return raw.groupBy("url").applyInPandas(_resolve_group, schema=MENTIONS_SCHEMA)

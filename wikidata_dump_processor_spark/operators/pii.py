@@ -54,17 +54,29 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     PROGRESSIVELY REDACTED text (same order as ``redact_pii``), so each
     match is attributed to exactly one type and the counts are consistent
     with what redaction would remove — a card number is 1 credit_card
-    match, not also 2 phone matches."""
-    cols: dict[str, Column] = {}
-    t = F.col(text_col)
+    match, not also 2 phone matches.
+
+    The intermediate redacted texts are STAGED as temp columns (dropped
+    on return): folding the replace chain into every count expression
+    would re-run pattern j's regex once per downstream count — codegen
+    CSE does not deduplicate repeated regex subtrees (the same finding
+    as the textstats/decontam staging).  Each temp is referenced by ≥2
+    downstream expressions, so CollapseProject keeps the staging."""
+    d = docs
+    prev: Column = F.col(text_col)
+    temp_cols: list[str] = []
     total = F.lit(0)
-    for name, (pat, repl) in PII_PATTERNS.items():
-        c = F.regexp_count(t, F.lit(pat))
-        cols[f"pii_{name}_count"] = c
-        total = total + c
-        t = F.regexp_replace(t, pat, repl)
-    cols["pii_total_count"] = total
-    return docs.withColumns(cols)
+    names = list(PII_PATTERNS)
+    for j, name in enumerate(names):
+        pat, repl = PII_PATTERNS[name]
+        d = d.withColumn(f"pii_{name}_count", F.regexp_count(prev, F.lit(pat)))
+        total = total + F.col(f"pii_{name}_count")
+        if j < len(names) - 1:  # the last pattern's redaction is unused
+            tc = f"_pii_t{j}"
+            d = d.withColumn(tc, F.regexp_replace(prev, pat, repl))
+            temp_cols.append(tc)
+            prev = F.col(tc)
+    return d.withColumn("pii_total_count", total).drop(*temp_cols)
 
 
 def redact_pii(

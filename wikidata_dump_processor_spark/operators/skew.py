@@ -25,22 +25,30 @@ def with_salt(
 ) -> DataFrame:
     """Attach a salt in ``[0, num_salts)`` used to split hot keys.
 
-    ``cols=None`` (default): a cheap per-row round-robin salt —
-    ``pmod(monotonically_increasing_id(), n)`` — which never touches row
-    content (a fact table carrying a wide ``text`` column pays nothing)
-    and splits ANY hot key perfectly.  Salt values depend on physical row
-    order, but every salted operator here (``salted_join``,
-    ``two_phase_count``) produces output invariant to the salt
-    assignment, so results stay deterministic.
+    ``cols=None`` (default): a cheap partition-local salt —
+    ``pmod(spark_partition_id(), n)`` — which never touches row content
+    (a fact table carrying a wide ``text`` column pays nothing) and is
+    RETRY-STABLE: a recomputed task re-reads the same input split, so
+    rows keep their salt across task retries.  (The previous
+    ``monotonically_increasing_id`` round-robin was not: a retried map
+    task re-salts rows differently while already-finished reducers keep
+    the old routing — the SPARK-23207 lost/duplicated-rows class.  A
+    shuffle keyed on the salt must never use a nondeterministic salt.)
+    All rows of one upstream partition share a salt, which costs nothing
+    for the salted operators here: ``two_phase_count``'s map-side
+    partial agg reduces to one row per (key, partition) anyway, and
+    ``salted_join`` splits a hot key across however many partitions
+    carry it.
 
     ``cols=[...]``: content-deterministic salt ``pmod(xxhash64(cols), n)``
-    for callers that need the salt itself reproducible across runs; pick
-    cheap columns that VARY WITHIN a hot key (salting on the join key
-    alone would give every row of that key the same salt — no split).
-    Never hash ``df.columns`` wholesale: a wide text/binary column makes
-    the salt cost a full-document hash per row."""
+    for callers that need the salt itself reproducible across runs and
+    partitionings; pick cheap columns that VARY WITHIN a hot key
+    (salting on the join key alone would give every row of that key the
+    same salt — no split).  Never hash ``df.columns`` wholesale: a wide
+    text/binary column makes the salt cost a full-document hash per
+    row."""
     if cols is None:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+        salt = F.pmod(F.spark_partition_id(), F.lit(num_salts))
     else:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts))
     return df.withColumn(col_name, salt)

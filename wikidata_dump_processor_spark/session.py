@@ -28,7 +28,13 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     if master is None:
-        master = os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+        # NOTE: set-but-EMPTY env ("SPARK_MASTER= spark-submit ...") means
+        # "leave the master to the launcher" — an `or` here would swallow
+        # it and silently pin the documented cluster deployment to
+        # local[cpus] (builder.master overrides spark-submit's --master)
+        master = os.environ.get("SPARK_MASTER")
+        if master is None:
+            master = f"local[{cpus}]"
     b = SparkSession.builder
     if master:
         b = b.master(master)

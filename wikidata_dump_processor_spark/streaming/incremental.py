@@ -219,9 +219,17 @@ def incremental_pipeline_run(
     if os.path.exists(ledger_path):
         with open(ledger_path) as f:
             ledger = json.load(f)
-    seen = {f for r in ledger["runs"] for f in r["files"]}
+    # realpath-normalize both sides: the ledger must not re-ingest a file
+    # because the caller spelled input_dir differently (relative vs
+    # absolute, trailing slash, symlink) between runs
+    seen = {os.path.realpath(f) for r in ledger["runs"] for f in r["files"]}
     new = sorted(
-        f for f in glob.glob(os.path.join(input_dir, "*.parquet")) if f not in seen
+        f
+        for f in (
+            os.path.realpath(g)
+            for g in glob.glob(os.path.join(input_dir, "*.parquet"))
+        )
+        if f not in seen
     )
     if not new:
         return None
