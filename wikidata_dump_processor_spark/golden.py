@@ -32,7 +32,7 @@ from .reference_semantics import golden_record
 from .schemas import AUTHCTRL_PRED, AUTHCTRL_PROPS, FILTER_BANK, LANGS
 
 # bump when any golden derivation changes => fixtures regenerate
-VERSION = "r3-1"
+VERSION = "r5-1"
 
 GOLDEN_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".golden")
 
@@ -655,13 +655,16 @@ def _doc_shingles(text: str, k: int = 3) -> list[str]:
     return [s for s in out if s]
 
 
-def _t_minhash_pairs(num_hashes=64, bands=16, threshold=0.5, max_bucket=200):
-    """dedup.minhash_lsh_pairs re-derived (kg8 defaults)."""
+def _minhash_pairs_core(docs, num_hashes=64, bands=16, threshold=0.5,
+                        max_bucket=200):
+    """dedup.minhash_lsh_pairs re-derived over an explicit (id, text)
+    list — shared by the kg8 fixture (full corpus, threshold 0.5) and
+    the curation-chain fixture (survivor subset, threshold 0.7)."""
     from .xxh64 import spark_xxhash64, to_signed, xxh64_int
 
     r = num_hashes // bands
     sigs: dict[int, list[int]] = {}
-    for doc_id, text in _read_docs():
+    for doc_id, text in docs:
         sh = _doc_shingles(text)
         if not sh:
             continue
@@ -689,6 +692,14 @@ def _t_minhash_pairs(num_hashes=64, bands=16, threshold=0.5, max_bucket=200):
         est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
         if est >= threshold:
             rows.append({"id_a": a, "id_b": b, "est_jaccard": est})
+    return rows
+
+
+def _t_minhash_pairs(num_hashes=64, bands=16, threshold=0.5, max_bucket=200):
+    """dedup.minhash_lsh_pairs re-derived (kg8 defaults)."""
+    rows = _minhash_pairs_core(
+        _read_docs(), num_hashes, bands, threshold, max_bucket
+    )
     return rows, pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())]
     )
@@ -937,6 +948,540 @@ def _t_labels(c: _Corpus):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# round-5 curation / graph fixtures (driver slots c1, t4, d5, d6, pii1, x1,
+# g2, cur1) — pure-Python re-derivations of the curation operators, sharing
+# no code with the engine (operators/{curate,pii,decontam,dedup,skew,
+# textstats,graph}.py, functions/urls.py); the synthetic input transforms
+# (synth_url, pii_text, ...) are mirrored BY SPEC in queries_catalog.
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+
+def _read_docs_src():
+    t = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+
+
+def _round6(x: float) -> float:
+    """Spark round(x, 6) for doubles: BigDecimal.valueOf(x) (the shortest
+    round-trip decimal string, = Python repr) quantized HALF_UP."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def synth_url(doc_id: int) -> str:
+    """Deterministic URL-spelling generator over doc_id; 13 variant groups
+    exercising every canonical_url normalization (case, www, default and
+    explicit ports, tracking params, fragments, trailing slashes) plus a
+    malformed spelling.  Groups 0 and 1 spell the SAME document (url_dup
+    fodder); group 7 is unparseable."""
+    g = doc_id % 13
+    cid = doc_id - 1 if g == 1 else doc_id
+    host = f"src{cid % 20}.example.com"
+    path = f"/p/{cid}"
+    plain = f"https://{host}{path}"
+    if g == 1:
+        return f"HTTPS://WWW.{host}{path}/?utm_source=x&gclid=1#frag"
+    if g == 3:
+        return f"https://{host}:8080{path}"
+    if g == 4:
+        return plain + "?b=2&a=1"
+    if g == 5:
+        return f"https://{host}:443{path}"
+    if g == 7:
+        return f"not a url {doc_id}"
+    return plain
+
+
+_TRACKING_RE = re.compile(r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|fbsrc)=")
+
+
+def _url_parts(url: str):
+    """(proto, authority, path, query) per java.net.URI semantics for the
+    URL shapes synth_url emits; None when unparseable (try_parse_url ->
+    NULL per component: spaces / missing scheme)."""
+    if " " in url or "://" not in url:
+        return None
+    proto, rest = url.split("://", 1)
+    rest = rest.split("#", 1)[0]
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    else:
+        query = None
+    i = rest.find("/")
+    authority, path = (rest, "") if i < 0 else (rest[:i], rest[i:])
+    return proto, authority, path, query
+
+
+def _url_host(url: str) -> str:
+    """try_parse_url(url, HOST) coalesced to '' — case-preserved, port
+    stripped (skew.domain_quota_sample's domain key)."""
+    parts = _url_parts(url)
+    if parts is None:
+        return ""
+    _, authority, _, _ = parts
+    m = re.search(r":(\d+)$", authority)
+    return authority[: m.start()] if m else authority
+
+
+def _canon_url(url: str):
+    """functions/urls.canonical_url re-derived (strip_www=True)."""
+    parts = _url_parts(url)
+    if parts is None:
+        return None
+    proto, authority, path, query = parts
+    proto = proto.lower()
+    m = re.search(r":(\d+)$", authority)
+    port = m.group(1) if m else ""
+    host = (authority[: m.start()] if m else authority).lower()
+    host = re.sub(r"^www\.", "", host, count=1)
+    keep_port = port != "" and not (
+        (proto == "http" and port == "80")
+        or (proto == "https" and port == "443")
+    )
+    if not path:
+        path = "/"
+    path = re.sub(r"(.)/$", r"\1", path)
+    params = [
+        p for p in (query or "").split("&") if p and not _TRACKING_RE.search(p)
+    ]
+    qnorm = "&".join(sorted(params))
+    return (
+        proto
+        + "://"
+        + host
+        + (f":{port}" if keep_port else "")
+        + path
+        + (f"?{qnorm}" if qnorm else "")
+    )
+
+
+def _url_key(url: str) -> int:
+    """with_canonical_url's dedup key: xxhash64 of the canonical spelling,
+    falling back to the raw url for unparseable spellings."""
+    from .xxh64 import spark_xxhash64
+
+    c = _canon_url(url)
+    return spark_xxhash64(c if c is not None else url)
+
+
+def _t_canonical_urls():
+    rows = [
+        {
+            "doc_id": d,
+            "canonical_url": _canon_url(synth_url(d)),
+            "url_key": _url_key(synth_url(d)),
+        }
+        for d, _ in _read_docs()
+    ]
+    return rows, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("canonical_url", pa.string()),
+            ("url_key", pa.int64()),
+        ]
+    )
+
+
+def _t_domain_quota(cap=10, seed=0):
+    """skew.domain_quota_sample exact path re-derived: per domain, keep
+    the ``cap`` rows lowest in (xxhash64(url, seed), url) order."""
+    from .xxh64 import spark_xxhash64
+
+    by_dom: dict[str, list] = {}
+    for d, _ in _read_docs():
+        url = synth_url(d)
+        pri = spark_xxhash64(url, ("int", seed))
+        by_dom.setdefault(_url_host(url), []).append((pri, url, d))
+    rows = []
+    for dom, lst in by_dom.items():
+        for _pri, _url, d in sorted(lst)[:cap]:
+            rows.append({"doc_id": d, "domain": dom})
+    rows.sort(key=lambda r: r["doc_id"])
+    return rows, pa.schema([("doc_id", pa.int64()), ("domain", pa.string())])
+
+
+# PII pattern SPEC re-declared literally (operators/pii.py documents the
+# Java/Python-common regex subset; identical strings, independent engine)
+_PII = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"(?<![\d.])(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(?![\d.])",
+        "<IP>",
+    ),
+    ("ssn", r"(?<![\d-])\d{3}-\d{2}-\d{4}(?![\d-])", "<SSN>"),
+    (
+        "credit_card",
+        r"(?<![\d-])\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}(?![\d-])",
+        "<CARD>",
+    ),
+    (
+        "phone",
+        r"(?<![\d-])(?:\+?1[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}(?![\d-])",
+        "<PHONE>",
+    ),
+]
+
+
+def pii_text(doc_id: int, text: str) -> str:
+    """Deterministic PII injection (mirrored by spec in queries_catalog):
+    one typed PII token per doc by doc_id % 6 (group 5: none), plus a
+    second email for doc_id % 12 == 0."""
+    g = doc_id % 6
+    if g == 0:
+        text += f" contact bob{doc_id}@example.com"
+    elif g == 1:
+        text += f" server 10.{doc_id % 200}.0.{doc_id % 250}"
+    elif g == 2:
+        text += f" ssn 123-45-{doc_id % 10000:04d}"
+    elif g == 3:
+        text += f" card 4111-1111-1111-{doc_id % 10000:04d}"
+    elif g == 4:
+        text += f" call (555) 867-{doc_id % 10000:04d}"
+    if doc_id % 12 == 0:
+        text += " and alice@test.org"
+    return text
+
+
+def _t_pii_counts():
+    """operators/pii.pii_counts re-derived: counts on the progressively
+    redacted text, fixed pattern order."""
+    rows = []
+    for d, text in _read_docs():
+        t = pii_text(d, text)
+        row = {"doc_id": d}
+        total = 0
+        for name, pat, repl in _PII:
+            c = len(re.findall(pat, t))
+            row[f"pii_{name}_count"] = c
+            total += c
+            t = re.sub(pat, repl, t)
+        row["pii_total_count"] = total
+        rows.append(row)
+    schema = pa.schema(
+        [("doc_id", pa.int64())]
+        + [(f"pii_{n}_count", pa.int64()) for n, _, _ in _PII]
+        + [("pii_total_count", pa.int64())]
+    )
+    return rows, schema
+
+
+def repetition_text(text: str) -> str:
+    """Deterministic multi-line/para rewrite (mirrored by spec in
+    queries_catalog): ' table ' -> blank line, ' value ' -> newline."""
+    return text.replace(" table ", "\n\n").replace(" value ", "\n")
+
+
+def _rep_metrics(text: str, max_tokens: int = 2000):
+    """textstats.repetition_features re-derived naively (Counter math);
+    raw doubles — the divisions are single int/int ops, bit-identical to
+    the JVM's."""
+    from collections import Counter
+
+    lines = [x for x in (ln.strip() for ln in text.split("\n")) if x]
+    paras = [x for x in (p.strip() for p in re.split(r"\n\n+", text)) if x]
+    toks = [w for w in _WS.split(text.lower()) if w][:max_tokens]
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def dup_frac(arr):
+        return (len(arr) - len(set(arr))) / len(arr) if arr else 0.0
+
+    def dup_char_frac(arr):
+        c = Counter(arr)
+        tot = sum(len(x) for x in arr)
+        dup = sum(len(x) for x in arr if c[x] > 1)
+        return dup / tot if tot else 0.0
+
+    top = (max(Counter(bigrams).values()) / len(bigrams)) if bigrams else 0.0
+    return {
+        "dup_line_frac": dup_frac(lines),
+        "dup_line_char_frac": dup_char_frac(lines),
+        "dup_para_frac": dup_frac(paras),
+        "top_bigram_frac": top,
+    }
+
+
+def _t_repetition():
+    """The exported columns are Spark round(x, 6) like the engine's
+    (textstats.repetition_features rounds every metric); the raw doubles
+    stay available via _rep_metrics for the curation-chain thresholds."""
+    rows = [
+        {
+            "doc_id": d,
+            **{
+                k: _round6(v)
+                for k, v in _rep_metrics(repetition_text(text)).items()
+            },
+        }
+        for d, text in _read_docs()
+    ]
+    return rows, pa.schema(
+        [("doc_id", pa.int64())]
+        + [
+            (c, pa.float64())
+            for c in (
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "dup_para_frac",
+                "top_bigram_frac",
+            )
+        ]
+    )
+
+
+def para_text(doc_id: int, text: str, source: str) -> str:
+    """Deterministic boilerplate framing (mirrored by spec in
+    queries_catalog): per-source header para (always duplicated), a
+    global newsletter para for doc_id % 9 == 0, and a short 'Intro' para
+    under the min_para_chars exemption."""
+    extra = (
+        "\n\nsubscribe to our newsletter today please"
+        if doc_id % 9 == 0
+        else ""
+    )
+    return (
+        f"shared navigation header menu for {source}\n\n{text}{extra}\n\nIntro"
+    )
+
+
+def _norm_ws(s: str) -> str:
+    return _WS.sub(" ", s.lower()).strip(" ")
+
+
+def _t_para_dedup(min_count=2, min_para_chars=20):
+    """dedup.paragraph_dedup (drop_frequent) re-derived: normalized-para
+    frequency over the corpus; paras with count >= min_count removed
+    everywhere, short paras exempt, doc rebuilt as kept paras joined by
+    the canonical separator."""
+    from collections import Counter
+
+    docs = []
+    for d, text, src in _read_docs_src():
+        t = para_text(d, text, src)
+        paras = [x for x in (p.strip() for p in re.split(r"\n{2,}", t)) if x]
+        docs.append((d, paras))
+    freq = Counter(
+        _norm_ws(p)
+        for _, paras in docs
+        for p in paras
+        if len(p) >= min_para_chars
+    )
+    rows = []
+    for d, paras in docs:
+        kept, removed = [], 0
+        for p in paras:
+            if len(p) >= min_para_chars and freq[_norm_ws(p)] >= min_count:
+                removed += 1
+            else:
+                kept.append(p)
+        rows.append(
+            {
+                "doc_id": d,
+                "text_para_dedup": "\n\n".join(kept),
+                "n_paras_removed": removed,
+            }
+        )
+    return rows, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_para_dedup", pa.string()),
+            ("n_paras_removed", pa.int64()),
+        ]
+    )
+
+
+LEAK_SENTENCE = (
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+)
+
+
+def decontam_text(doc_id: int, text: str) -> str:
+    """Deterministic leak injection (mirrored by spec in queries_catalog):
+    docs with doc_id % 10 == 3 carry the 13-token benchmark sentence."""
+    return text + " " + LEAK_SENTENCE if doc_id % 10 == 3 else text
+
+
+def _decontam_tokens(text: str) -> list[str]:
+    cleaned = re.sub(r"[^a-z0-9\s]", " ", text.lower(), flags=re.ASCII)
+    return [t for t in _WS.split(cleaned) if t]
+
+
+def _t_decontam(n=13, bench_mod=17):
+    """decontam.contamination_counts re-derived on gram STRINGS (the
+    engine joins on xxhash64 of the same strings — equivalent modulo
+    64-bit collisions, an independent check of the hash path)."""
+    docs = _read_docs()
+    bench_texts = [t for d, t in docs if d % bench_mod == 0] + [LEAK_SENTENCE]
+    bench_grams = set()
+    for t in bench_texts:
+        toks = _decontam_tokens(t)
+        for i in range(len(toks) - n + 1):
+            bench_grams.add(" ".join(toks[i : i + n]))
+    rows = []
+    for d, text in docs:
+        toks = _decontam_tokens(decontam_text(d, text))
+        c = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if " ".join(toks[i : i + n]) in bench_grams
+        )
+        if c:
+            rows.append({"doc_id": d, "contaminated_grams": c})
+    return rows, pa.schema(
+        [("doc_id", pa.int64()), ("contaminated_grams", pa.int64())]
+    )
+
+
+def _t_khop(triples_rows, k=3):
+    """graph.k_hop_subgraph re-derived as a plain BFS, directed, hop 1 =
+    the seeds' own triples.  Seed rule (mirrored in queries_catalog g2):
+    the 5 lexicographically-smallest ^Q\\d+$ subjects having at least one
+    object that is itself a subject — guarantees the hop loop actually
+    expands (the plain min-Q seed's neighborhood happens to dead-end at
+    hop 1 on this corpus)."""
+    ent = re.compile(r"^[QL]\d+$")
+    schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+    )
+    subjects = {r["subj"] for r in triples_rows}
+    qsubs = {
+        r["subj"]
+        for r in triples_rows
+        if re.match(r"^Q\d+$", r["subj"]) and r["obj"] in subjects
+    }
+    if not qsubs:
+        return [], schema
+    seeds = sorted(qsubs)[:5]
+    by_subj: dict[str, list] = {}
+    for r in triples_rows:
+        if ent.match(r["subj"]):
+            by_subj.setdefault(r["subj"], []).append(r)
+    frontier = set(seeds)
+    visited = set(frontier)
+    sub = set()
+    for _hop in range(k):
+        if not frontier:
+            break
+        hop = [t for s in frontier for t in by_subj.get(s, [])]
+        sub |= {(t["subj"], t["pred"], t["obj"]) for t in hop}
+        ends = {t["obj"] for t in hop if ent.match(t["obj"])}
+        frontier = ends - visited
+        visited |= frontier
+    rows = [{"subj": s, "pred": p, "obj": o} for s, p, o in sorted(sub)]
+    return rows, schema
+
+
+# stopword SPEC re-declared literally (textstats.LANG_PROFILES)
+_STOPWORDS = {
+    w
+    for ws in (
+        ["the", "and", "of", "to", "is"],
+        ["der", "die", "und", "ist", "das"],
+        ["le", "la", "et", "est", "les"],
+        ["el", "la", "los", "es", "de"],
+    )
+    for w in ws
+}
+
+
+def _quality6(text: str) -> float:
+    """textstats.quality_score re-derived: same blend, same evaluation
+    order (left-assoc adds, min-capped terms), rounded at 6."""
+    collapsed = _WS.sub(" ", text).strip(" ")
+    n_tokens = 0 if not collapsed else collapsed.count(" ") + 1
+    n_chars = len(text)
+    punct = n_chars - len(re.sub(r"[^\w\s]", "", text, flags=re.ASCII))
+    digits = n_chars - len(re.sub(r"[0-9]", "", text))
+    stop = sum(1 for w in _WS.split(text.lower()) if w in _STOPWORDS)
+    punct_ratio = punct / n_chars if n_chars else 0.0
+    digit_ratio = digits / n_chars if n_chars else 0.0
+    stop_ratio = stop / n_tokens if n_tokens else 0.0
+    score = (
+        min(n_tokens / 100.0, 1.0) * 0.4
+        + (1 - min(punct_ratio * 5, 1.0)) * 0.2
+        + min(stop_ratio * 4, 1.0) * 0.3
+        + (1 - min(digit_ratio * 5, 1.0)) * 0.1
+    )
+    return _round6(score)
+
+
+def _t_curation_flags(
+    quality_min=0.2,
+    min_chars=20,
+    max_dup_line_frac=0.30,
+    max_top_bigram_frac=0.18,
+    minhash_threshold=0.7,
+    domain_cap=12,
+):
+    """operators/curate.curate_documents re-derived end-to-end: the full
+    first-failing-filter chain (url_dup -> exact_dup -> quality ->
+    repetition -> near_dup -> domain_quota) over the synthetic URLs."""
+    from collections import Counter
+
+    from .xxh64 import spark_xxhash64
+
+    docs = [(d, t, synth_url(d)) for d, t in _read_docs()]
+    # keeper = min doc_id per canonical-url key / per normalized text
+    by_key: dict[int, list[int]] = {}
+    by_txt: dict[str, list[int]] = {}
+    for d, t, url in docs:
+        by_key.setdefault(_url_key(url), []).append(d)
+        by_txt.setdefault(_norm_ws(t), []).append(d)
+    url_dup = {d for ids in by_key.values() for d in sorted(ids)[1:]}
+    exact_dup = {d for ids in by_txt.values() for d in sorted(ids)[1:]}
+    reason: dict[int, str | None] = {}
+    for d, t, _url in docs:
+        rep = _rep_metrics(t)
+        if d in url_dup:
+            reason[d] = "url_dup"
+        elif d in exact_dup:
+            reason[d] = "exact_dup"
+        elif len(t.strip(" ")) < min_chars or _quality6(t) < quality_min:
+            reason[d] = "quality"
+        elif (
+            _round6(rep["dup_line_frac"]) > max_dup_line_frac
+            or _round6(rep["top_bigram_frac"]) > max_top_bigram_frac
+        ):
+            reason[d] = "repetition"
+        else:
+            reason[d] = None
+    surv = [(d, t) for d, t, _ in docs if reason[d] is None]
+    pairs = _minhash_pairs_core(surv, threshold=minhash_threshold)
+    for p in pairs:
+        if reason[p["id_b"]] is None:
+            reason[p["id_b"]] = "near_dup"
+    surv2 = [(d, url) for d, _, url in docs if reason[d] is None]
+    dom_of = {d: _url_host(url) for d, url in surv2}
+    n_by_dom = Counter(dom_of.values())
+    for d, url in surv2:
+        nd = n_by_dom[dom_of[d]]
+        if nd <= domain_cap:
+            continue
+        u01 = (spark_xxhash64(url, ("int", 0)) & 0xFFFFFFFF) / float(1 << 32)
+        if not (u01 < domain_cap / float(nd)):
+            reason[d] = "domain_quota"
+    rows = [
+        {"doc_id": d, "drop_reason": reason[d] or "kept"} for d, _, _ in docs
+    ]
+    return rows, pa.schema(
+        [("doc_id", pa.int64()), ("drop_reason", pa.string())]
+    )
+
+
 def _write(path: str, rows: list[dict], schema: pa.Schema):
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
     table = pa.Table.from_pydict(cols, schema=schema)
@@ -970,6 +1515,15 @@ def build_golden(n: int = ORACLE_N, root: str | None = None) -> str:
         "simhash_pairs": _t_simhash_pairs(),
         "lsh_topk": _t_lsh_topk(),
         "rolling_fp": _t_rolling_fp(),
+        # round-5 curation / graph fixtures
+        "canonical_urls": _t_canonical_urls(),
+        "domain_quota": _t_domain_quota(),
+        "pii_counts": _t_pii_counts(),
+        "repetition": _t_repetition(),
+        "para_dedup": _t_para_dedup(),
+        "decontam": _t_decontam(),
+        "khop_subgraph": _t_khop(triples_rows),
+        "curation_flags": _t_curation_flags(),
     }
     for name, (rows, schema) in tables.items():
         _write(os.path.join(out, f"{name}.parquet"), rows, schema)

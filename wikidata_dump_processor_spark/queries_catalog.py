@@ -1018,3 +1018,228 @@ def _q_kg18(spark, sf_dir):
         item_entities(_kg_parsed(spark, sf_dir)), "P31"
     )
     return tsv_df
+
+
+# ---------------------------------------------------------------------------
+# round-5 curation / graph queries (c1, t4, d5, d6, pii1, x1, g2, cur1).
+# Inputs are the documents/triples test tables plus deterministic synthetic
+# transforms (URLs, PII tokens, boilerplate paragraphs, benchmark leaks)
+# declared HERE as Spark expressions and re-declared BY SPEC in golden.py's
+# pure-Python builders — the oracle is the golden parquet, so the engine
+# operators (functions/urls.py, operators/{pii,textstats,dedup,decontam,
+# skew,graph,curate}.py) get full row/schema/value-hash driver checks.
+# ---------------------------------------------------------------------------
+
+
+def _synth_url() -> F.Column:
+    """Deterministic URL-spelling generator over doc_id (spec mirror of
+    golden.synth_url): 13 variant groups exercising every canonical_url
+    normalization; groups 0/1 spell the SAME document, group 7 is
+    unparseable."""
+    d = F.col("doc_id")
+    g = d % 13
+    cid = F.when(g == 1, d - 1).otherwise(d)
+    host = F.concat(
+        F.lit("src"), (cid % 20).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/p/"), cid.cast("string"))
+    plain = F.concat(F.lit("https://"), host, path)
+    return (
+        F.when(
+            g == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), host, path,
+                F.lit("/?utm_source=x&gclid=1#frag"),
+            ),
+        )
+        .when(g == 3, F.concat(F.lit("https://"), host, F.lit(":8080"), path))
+        .when(g == 4, F.concat(plain, F.lit("?b=2&a=1")))
+        .when(g == 5, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(g == 7, F.concat(F.lit("not a url "), d.cast("string")))
+        .otherwise(plain)
+    )
+
+
+@q(
+    "c1_canonical_urls",
+    f"SELECT doc_id, canonical_url, url_key FROM {_gp('canonical_urls')}",
+)
+def _q_c1(spark, sf_dir):
+    from .functions.urls import with_canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url", _synth_url()
+    )
+    return with_canonical_url(d).select(
+        "doc_id", "canonical_url",
+        F.col("canonical_url_key").alias("url_key"),
+    )
+
+
+@q("x1_domain_quota", f"SELECT doc_id, domain FROM {_gp('domain_quota')}")
+def _q_x1(spark, sf_dir):
+    from .operators.skew import domain_quota_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url", _synth_url()
+    )
+    return domain_quota_sample(d, cap=10, exact=True).select(
+        "doc_id", "domain"
+    )
+
+
+def _pii_text() -> F.Column:
+    """Spec mirror of golden.pii_text: one typed PII token appended per
+    doc by doc_id % 6 (group 5: none), plus a second email for
+    doc_id % 12 == 0."""
+    d, t = F.col("doc_id"), F.col("text")
+    g = d % 6
+    pad4 = F.format_string("%04d", d % 10000)
+    base = (
+        F.when(
+            g == 0,
+            F.concat(t, F.lit(" contact bob"), d.cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(
+            g == 1,
+            F.concat(t, F.lit(" server 10."), (d % 200).cast("string"),
+                     F.lit(".0."), (d % 250).cast("string")),
+        )
+        .when(g == 2, F.concat(t, F.lit(" ssn 123-45-"), pad4))
+        .when(g == 3, F.concat(t, F.lit(" card 4111-1111-1111-"), pad4))
+        .when(g == 4, F.concat(t, F.lit(" call (555) 867-"), pad4))
+        .otherwise(t)
+    )
+    return F.when(
+        d % 12 == 0, F.concat(base, F.lit(" and alice@test.org"))
+    ).otherwise(base)
+
+
+@q("pii1_pii_counts", f"SELECT * FROM {_gp('pii_counts')}")
+def _q_pii1(spark, sf_dir):
+    from .operators.pii import PII_PATTERNS, pii_counts
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text().alias("text")
+    )
+    cnt_cols = [f"pii_{n}_count" for n in PII_PATTERNS] + ["pii_total_count"]
+    return pii_counts(d).select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in cnt_cols]
+    )
+
+
+@q("t4_repetition_features", f"SELECT * FROM {_gp('repetition')}")
+def _q_t4(spark, sf_dir):
+    from .operators.textstats import repetition_features
+
+    # spec mirror of golden.repetition_text: rewrite the single-line
+    # corpus into multi-line/para docs so the line/para metrics are
+    # non-trivial
+    t = F.replace(F.col("text"), F.lit(" table "), F.lit("\n\n"))
+    t = F.replace(t, F.lit(" value "), F.lit("\n"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", t.alias("text"))
+    return repetition_features(d).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "top_bigram_frac",
+    )
+
+
+@q(
+    "d5_paragraph_dedup",
+    f"SELECT doc_id, text_para_dedup, n_paras_removed FROM {_gp('para_dedup')}",
+)
+def _q_d5(spark, sf_dir):
+    from .operators.dedup import paragraph_dedup
+
+    # spec mirror of golden.para_text: per-source boilerplate header
+    # (always duplicated), a global newsletter para for doc_id % 9 == 0,
+    # and a short 'Intro' para under the min_para_chars exemption
+    d, t = F.col("doc_id"), F.col("text")
+    framed = F.concat(
+        F.lit("shared navigation header menu for "), F.col("source"),
+        F.lit("\n\n"), t,
+        F.when(
+            d % 9 == 0,
+            F.lit("\n\nsubscribe to our newsletter today please"),
+        ).otherwise(F.lit("")),
+        F.lit("\n\nIntro"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", framed.alias("text")
+    )
+    return paragraph_dedup(docs, id_col="doc_id").select(
+        "doc_id", "text_para_dedup",
+        F.col("n_paras_removed").cast("long").alias("n_paras_removed"),
+    )
+
+
+# 13 tokens — exactly one 13-gram of its own (spec mirror of
+# golden.LEAK_SENTENCE)
+_LEAK_SENTENCE = (
+    "the quick brown fox jumps over the lazy dog again and again tonight"
+)
+
+
+@q(
+    "d6_decontamination",
+    f"SELECT doc_id, contaminated_grams FROM {_gp('decontam')}",
+)
+def _q_d6(spark, sf_dir):
+    from .operators.decontam import contamination_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    # benchmark = every 17th doc's ORIGINAL text + the leak sentence;
+    # corpus = docs with the leak appended for doc_id % 10 == 3
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text").unionByName(
+        spark.createDataFrame([(_LEAK_SENTENCE,)], "text string")
+    )
+    leaky = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("text"), F.lit(" " + _LEAK_SENTENCE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return contamination_counts(leaky, bench)
+
+
+@q("g2_khop_subgraph", f"SELECT subj, pred, obj FROM {_gp('khop_subgraph')}")
+def _q_g2(spark, sf_dir):
+    from .operators.graph import k_hop_subgraph
+    from .operators.triples import extract_triples
+
+    triples = extract_triples(_kg_parsed(spark, sf_dir))
+    # seed rule (mirrored in golden._t_khop): the 5 smallest ^Q\d+$
+    # subjects with at least one object that is itself a subject — seeds
+    # whose neighborhoods actually expand
+    subs = triples.select("subj").distinct()
+    seeds = (
+        triples.filter(F.col("subj").rlike(r"^Q\d+$"))
+        .join(subs.withColumnRenamed("subj", "obj"), "obj", "left_semi")
+        .select("subj")
+        .distinct()
+        .orderBy("subj")
+        .limit(5)
+    )
+    return k_hop_subgraph(triples, seeds, k=3).select("subj", "pred", "obj")
+
+
+@q(
+    "cur1_curation_flags",
+    f"SELECT doc_id, drop_reason FROM {_gp('curation_flags')}",
+)
+def _q_cur1(spark, sf_dir):
+    from .operators.curate import curate_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+        "url", _synth_url()
+    )
+    flagged = curate_documents(
+        d, id_col="doc_id", text_col="text", url_col="url",
+        minhash_threshold=0.7, domain_cap=12,
+    )
+    return flagged.select(
+        "doc_id",
+        F.coalesce(F.col("_drop_reason"), F.lit("kept")).alias("drop_reason"),
+    )
