@@ -22,13 +22,17 @@ for single-shot (used by the scaling harness, tools/scaling_bench.py,
 which supplies its own interleaved protocol).
 
 Round-5 addition: unless BENCH_WEAK_WINDOW=0, the artifact also carries
-ONE paired weak-scaling window (the criterion-evidence formulation from
+paired weak-scaling windows (the criterion-evidence formulation from
 SCALE.md / BENCH/BASELINE.md: data and cores grow together, N cores @
 n/4 pages vs 4N cores @ n pages, run back-to-back in fresh JVMs so
-window-scale host drift cancels inside the ratio) as
-``weak_eff_paired`` plus a same-window pure-CPU scale control — the
-round artifact alone evidences the >= 0.8 scaling criterion.  Raw
-window JSON goes to BENCH/runs/.
+window-scale host drift cancels inside the ratio).  ``weak_eff_paired``
+is the MEDIAN over ``BENCH_WEAK_WINDOWS`` (default 3) such windows —
+one window on this host is a coin flip (0.275 and 1.615 measured
+back-to-back at the same HEAD); the median matches the documented
+paired-window-median protocol with no one-sided retry bias.  Each
+window carries a same-window pure-CPU scale control, raw JSON under
+BENCH/runs/ — the round artifact alone evidences the >= 0.8 scaling
+criterion.
 
 Window protocol (must match the harness's criterion conditions, or the
 number is noise — a first single-cold-rep 2→8 variant measured 0.275
@@ -292,19 +296,33 @@ def main():
             all_reps[name] = reps
         take_control()
 
-    # --- paired weak-scaling window (fresh JVMs; main session stopped) ----
-    weak = None
+    # --- paired weak-scaling windows (fresh JVMs; main session stopped) ---
+    # The criterion estimator is the MEDIAN over BENCH_WEAK_WINDOWS
+    # (default 3) paired windows: a single window on this host is a coin
+    # flip (same-HEAD windows have measured 0.275 and 1.615 back-to-back,
+    # BENCH/runs/), while the median of 3 is the same unbiased
+    # paired-window-median protocol SCALE.md documents — no one-sided
+    # retry/best-of softening (the ADVICE r4 finding on scaling_bench).
+    weak, weak_all = None, []
     if ONLY != "kg_pipeline" and os.environ.get("BENCH_WEAK_WINDOW", "1") != "0":
         lo, hi = (
             int(x) for x in os.environ.get("BENCH_WEAK_LEVELS", "1,4").split(",")
         )
         n_weak = int(os.environ.get("BENCH_WEAK_PAGES", "0")) or 100_000
+        n_windows = int(os.environ.get("BENCH_WEAK_WINDOWS", "3"))
         for label, rows in (("small", n_weak // (hi // lo)), ("full", n_weak)):
             datagen.gen_pages(spark, rows).write.mode("overwrite").parquet(
                 os.path.join(scratch, f"weak_pages_{label}")
             )
-        spark.stop()  # nothing else may run during the paired window
-        weak = _weak_window(scratch)
+        spark.stop()  # nothing else may run during the paired windows
+        weak_all = [w for w in (_weak_window(scratch) for _ in range(n_windows)) if w]
+        if weak_all:
+            med = statistics.median(w["weak_eff_paired"] for w in weak_all)
+            # report the window closest to the median eff as the headline
+            weak = dict(
+                min(weak_all, key=lambda w: abs(w["weak_eff_paired"] - med)),
+                weak_eff_paired=round(med, 3),
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -325,6 +343,9 @@ def main():
                 "control": control,
                 "weak_eff_paired": weak["weak_eff_paired"] if weak else None,
                 "weak_window": weak,
+                "weak_windows_all": [
+                    w["weak_eff_paired"] for w in weak_all
+                ] or None,
             }
         )
     )

@@ -41,6 +41,11 @@ def _dec(c, p=18, s=2):
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
+# oracle-checked queries that do NOT occupy one of the driver's 50 slots
+# (see the 50-query-cap note below): same (fn, sql) contract, strict
+# compare runs in pytest (tests/test_demoted_oracles.py) instead of the
+# driver gate
+PYTEST_ORACLES: dict[str, tuple] = {}
 
 # golden parquet fixtures (pure-Python re-derivations, see golden.py) —
 # the oracle side of every query whose expected output is not
@@ -54,11 +59,14 @@ def _gp(table: str) -> str:
     return f"read_parquet('{_G}/{table}.parquet')"
 
 
-def q(name: str, sql: str | None = None):
+def q(name: str, sql: str | None = None, driver: bool = True):
     def reg(fn):
-        SPARK_QUERIES[name] = fn
-        if sql is not None:
-            ORACLE_SQL[name] = sql
+        if driver:
+            SPARK_QUERIES[name] = fn
+            if sql is not None:
+                ORACLE_SQL[name] = sql
+        else:
+            PYTEST_ORACLES[name] = (fn, sql)
         return fn
 
     return reg
@@ -161,6 +169,7 @@ def _q_a6(spark, sf_dir):
       SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
     ) GROUP BY n_items
     """,
+    driver=False,
 )
 def _q_a7(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -174,6 +183,7 @@ def _q_a7(spark, sf_dir):
     SELECT source, count(DISTINCT lang) AS n_langs FROM documents
     GROUP BY source HAVING count(DISTINCT lang) > 1
     """,
+    driver=False,
 )
 def _q_a11(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -318,6 +328,7 @@ def _q_j4(spark, sf_dir):
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderkey % 1000 = 0
     """,
+    driver=False,
 )
 def _q_j5(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
@@ -380,6 +391,7 @@ def _q_p7(spark, sf_dir):
       FROM part
     ) GROUP BY verdict
     """,
+    driver=False,
 )
 def _q_p11(spark, sf_dir):
     # model: DOI prefix regex + denylist verdicts (doi-count.pl:12-14,53-141)
@@ -419,6 +431,7 @@ def _q_p12(spark, sf_dir):
     SELECT doc_id, regexp_extract(text, '(spark [a-z]+)', 1) AS mention
     FROM documents WHERE regexp_matches(text, 'spark [a-z]+')
     """,
+    driver=False,
 )
 def _q_p6(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -461,6 +474,7 @@ def _q_p8(spark, sf_dir):
     SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000
     """,
+    driver=False,
 )
 def _q_o1(spark, sf_dir):
     return (
@@ -482,6 +496,15 @@ def _q_o1(spark, sf_dir):
 # function and is golden-checked by pytest (tests/test_training_ops.py::
 # test_rank_window_top3_per_source_golden), so partitioned rank/top-k
 # coverage survives the external 50-query cap without a driver slot.
+#
+# Round 5 added 8 curation/graph slots (c1, t4, d5, d6, pii1, x1, g2,
+# cur1); to stay at 50, the 8 queries whose SURVEY §2 rows are ALSO
+# covered by another green driver slot or a dedicated pytest moved to
+# ``driver=False`` registration (a7/a11/j5/p6/p11/o1/s1/d2 — e.g. P6
+# mention scan is exercised by kg1/kg5, P11 validators by kg16, J5
+# lookup by kg18).  They keep the identical (fn, sql) contract and the
+# identical STRICT compare — it just runs in pytest
+# (tests/test_demoted_oracles.py) instead of the external gate.
 
 
 def w1_top3_docs_per_source(spark, sf_dir):
@@ -529,6 +552,7 @@ def _q_w2(spark, sf_dir):
       SELECT s_nationkey AS nationkey, s_name AS name FROM supplier
     ) GROUP BY nationkey
     """,
+    driver=False,
 )
 def _q_s1(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
@@ -582,6 +606,7 @@ def _q_d1(spark, sf_dir):
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
     FROM documents
     """,
+    driver=False,
 )
 def _q_d2(spark, sf_dir):
     from .operators.textstats import fingerprint
