@@ -326,3 +326,59 @@ def paragraph_dedup(
         )
         .drop("_drop_idxs")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (pairs -> components -> keeper pick)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **minhash_kw,
+) -> DataFrame:
+    """Transitive near-dup clustering: MinHash/LSH candidate pairs ->
+    connected components -> one keeper per cluster.
+
+    ``minhash_lsh_pairs`` alone answers "which pairs are similar"; a
+    dedup POLICY needs the transitive closure (A~B, B~C => one cluster
+    {A,B,C}, keep one).  Returns every input row + ``cluster_id`` (the
+    minimum member id; singletons are their own cluster) +
+    ``is_keeper`` (true for the minimum id of the cluster — the
+    greedy-min policy the curation chain also uses).
+
+    Scale notes (100 TB): the pair stage is the banded, bucket-capped
+    LSH (never all-pairs); components run over MERGE EDGES only — edge
+    count ~ #duplicate docs, not #docs, so the alternating-star loop
+    (or its driver union-find small-regime) touches a sliver of the
+    corpus.  Cluster assignment joins back on the bounded non-singleton
+    id set (planner broadcasts while it fits); singleton docs never
+    shuffle at all (left join + coalesce to own id).
+
+    Component ids from ``connected_components`` are STRING-min (its id
+    domain is entity strings); the numeric ``cluster_id`` here is
+    re-derived as min(member id) per component, so callers see numeric
+    min-id semantics regardless.
+    """
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold,
+        **minhash_kw,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges).select(
+        F.col("id").cast("long").alias(id_col), "component"
+    )
+    rep = comp.groupBy("component").agg(F.min(id_col).alias("cluster_id"))
+    assign = comp.join(rep, "component").select(id_col, "cluster_id")
+    out = docs.join(assign, id_col, "left")
+    return out.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    ).withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
