@@ -168,3 +168,38 @@ def test_pack_invariants(spark, sf_docs):
 def test_pack_rejects_bad_budget(spark, sf_docs):
     with pytest.raises(ValueError):
         pack_sequences(sf_docs, 0)
+
+
+def test_curate_near_dup_clusters_policy(spark):
+    """near_dup="clusters" drops the whole transitive closure; the
+    pairwise default only drops docs directly paired with a smaller id."""
+    from wikidata_dump_processor_spark.operators.curate import curate_documents
+
+    rows = [
+        (d, t, f"https://chain{d}.example.com/p/{d}")
+        for d, t in CHAIN_DOCS
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    kw = dict(
+        id_col="doc_id", text_col="text", url_col="url",
+        minhash_threshold=0.5, domain_cap=None, checkpoint=False,
+    )
+    flag_pairs = {
+        r.doc_id: r._drop_reason
+        for r in curate_documents(docs, near_dup=True, **kw).collect()
+    }
+    flag_clust = {
+        r.doc_id: r._drop_reason
+        for r in curate_documents(docs, near_dup="clusters", **kw).collect()
+    }
+    # both policies keep the cluster keepers and singletons; 10/11 are
+    # EXACT duplicates so the earlier chain step attributes 11 first
+    for flags in (flag_pairs, flag_clust):
+        assert flags[1] is None and flags[10] is None and flags[20] is None
+        assert flags[11] == "exact_dup"
+    # the clusters policy drops every non-keeper of the 1-2-3 closure
+    assert flag_clust[2] == "near_dup" and flag_clust[3] == "near_dup"
+    # and is at least as strict as the pairwise policy everywhere
+    for d, reason in flag_pairs.items():
+        if reason == "near_dup":
+            assert flag_clust[d] == "near_dup"

@@ -27,7 +27,10 @@ survivors):
   5. contaminated  (``benchmark`` given) shares a normalized n-gram with
                    an evaluation benchmark item (operators/decontam.py)
   6. near_dup      has a smaller-id survivor with MinHash est-Jaccard
-                   >= ``minhash_threshold`` (greedy min-keeper list)
+                   >= ``minhash_threshold`` (greedy min-keeper list);
+                   ``near_dup="clusters"`` instead drops every
+                   non-keeper of the TRANSITIVE closure (connected
+                   components over the pair stream)
   7. domain_quota  dropped by the head-domain cap (hash-Bernoulli path)
 
 ``pii_redact=True`` additionally carries a ``text_redacted`` column
@@ -75,7 +78,7 @@ def curate_documents(
     min_chars: int = 20,
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.18,
-    near_dup: bool = True,
+    near_dup: bool | str = True,
     minhash_threshold: float = 0.7,
     domain_cap: int | None = None,
     benchmark: DataFrame | None = None,
@@ -90,7 +93,8 @@ def curate_documents(
     Returns the FLAGGED frame (all input rows).  The curated corpus is
     ``filter(_drop_reason IS NULL)``; ``curation_audit`` turns the same
     frame into per-filter drop counts.  ``domain_cap=None`` disables the
-    quota step, ``near_dup=False`` the LSH step.
+    quota step, ``near_dup=False`` the LSH step; ``near_dup="clusters"``
+    switches the LSH step to the transitive-closure policy.
 
     ``para_dedup=True`` runs corpus-wide paragraph dedup
     (``dedup.paragraph_dedup``, drop_frequent mode unless overridden via
@@ -167,17 +171,34 @@ def curate_documents(
         )
     if near_dup:
         surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
-        pairs = minhash_lsh_pairs(
-            surv, id_col=id_col, text_col=text_col,
-            threshold=minhash_threshold,
-        )
-        # greedy min-keeper: drop every doc with a smaller-id near-dup
-        # neighbor (pairs are emitted id_a < id_b)
-        losers = (
-            pairs.select(F.col("id_b").alias(id_col))
-            .distinct()
-            .withColumn("_nd", F.lit(True))
-        )
+        if near_dup == "clusters":
+            # transitive policy: connected components over the pair
+            # stream (dedup.near_dup_clusters) — A~B, B~C drops both B
+            # and C even though A~C never paired.  One keeper (min id)
+            # per closure; stricter than the pairwise default.
+            from .dedup import near_dup_clusters
+
+            losers = (
+                near_dup_clusters(
+                    surv, id_col=id_col, text_col=text_col,
+                    threshold=minhash_threshold,
+                )
+                .filter(~F.col("is_keeper"))
+                .select(F.col(id_col))
+                .withColumn("_nd", F.lit(True))
+            )
+        else:
+            pairs = minhash_lsh_pairs(
+                surv, id_col=id_col, text_col=text_col,
+                threshold=minhash_threshold,
+            )
+            # greedy min-keeper: drop every doc with a smaller-id
+            # near-dup neighbor (pairs are emitted id_a < id_b)
+            losers = (
+                pairs.select(F.col("id_b").alias(id_col))
+                .distinct()
+                .withColumn("_nd", F.lit(True))
+            )
         d = (
             d.join(losers, id_col, "left")
             .withColumn(
