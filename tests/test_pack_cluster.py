@@ -203,3 +203,24 @@ def test_curate_near_dup_clusters_policy(spark):
     for d, reason in flag_pairs.items():
         if reason == "near_dup":
             assert flag_clust[d] == "near_dup"
+
+
+def test_near_dup_clusters_string_ids(spark):
+    """The pipeline's curate stage clusters per-url (STRING ids): the
+    cluster id must be the lexicographic min member, and the ANSI cast
+    path must not throw on non-numeric ids (regression)."""
+    rows = [(f"https://h{d}.example.com/p", t) for d, t in CHAIN_DOCS]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    out = {
+        r.url: (r.cluster_id, r.is_keeper)
+        for r in D.near_dup_clusters(
+            docs, id_col="url", threshold=0.5
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    chain = [f"https://h{d}.example.com/p" for d in (1, 2, 3)]
+    want = min(chain)
+    for u in chain:
+        assert out[u] == (want, u == want)
+    singleton = "https://h20.example.com/p"
+    assert out[singleton] == (singleton, True)

@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--para-dedup", action="store_true",
                    help="--curate strips corpus-wide duplicated "
                         "paragraphs (boilerplate) before the filters")
+    p.add_argument("--near-dup-policy", choices=["pairs", "clusters"],
+                   default="pairs",
+                   help="--curate near-dup drop policy: greedy pairwise "
+                        "min-keeper (default) or the transitive closure "
+                        "(connected components over the pair stream)")
     p.add_argument("--triples-by-subj", action="store_true",
                    help="add the subject-bucketed triples layout")
     p.add_argument("--demo-pages", type=int, default=None,
@@ -107,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         curate_opts["pii_redact"] = True
     if args.para_dedup:
         curate_opts["para_dedup"] = True
+    if args.near_dup_policy == "clusters":
+        curate_opts["near_dup"] = "clusters"
     curate_opts = curate_opts or None
     res = run_pipeline(
         spark, pages, aliases, args.out, catalog,

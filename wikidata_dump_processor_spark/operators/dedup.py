@@ -358,13 +358,15 @@ def near_dup_clusters(
     id set (planner broadcasts while it fits); singleton docs never
     shuffle at all (left join + coalesce to own id).
 
-    Component ids from ``connected_components`` are STRING-min (its id
-    domain is entity strings); the numeric ``cluster_id`` here is
-    re-derived as min(member id) per component, so callers see numeric
-    min-id semantics regardless.
+    ``connected_components`` works on a string id domain (its own
+    ordering), so ``cluster_id`` is re-derived as min(member id) in the
+    ID COLUMN'S NATIVE ordering — numeric min for long ids (the
+    documents table), lexicographic min for string ids (the pipeline's
+    per-url curation), matching the ordering the pairwise policy uses.
     """
     from .canonicalize import connected_components
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     pairs = minhash_lsh_pairs(
         docs, id_col=id_col, text_col=text_col, threshold=threshold,
         **minhash_kw,
@@ -374,7 +376,7 @@ def near_dup_clusters(
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(edges).select(
-        F.col("id").cast("long").alias(id_col), "component"
+        F.col("id").cast(id_type).alias(id_col), "component"
     )
     rep = comp.groupBy("component").agg(F.min(id_col).alias("cluster_id"))
     assign = comp.join(rep, "component").select(id_col, "cluster_id")
