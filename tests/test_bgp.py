@@ -1,0 +1,167 @@
+"""BGP pattern-match engine (plans/bgp.py) — the generalization of the
+reference's wdq2.pl point query (wdq2.pl:347-406) to conjunctive
+triple-pattern queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikidata_dump_processor_spark.plans.bgp import (
+    match_patterns,
+    parse_bgp,
+)
+
+TRIPLES = [
+    # (subj, pred, obj)
+    ("Q1", "P31", "Q5"),
+    ("Q2", "P31", "Q5"),
+    ("Q3", "P31", "Q55"),
+    ("Q1", "P19", "Q90"),
+    ("Q2", "P19", "Q64"),
+    ("Q90", "P31", "Q515"),
+    ("Q64", "P31", "Q515"),
+    ("Q3", "P19", "Q90"),
+    ("Q7", "P279", "Q7"),          # self-loop
+    ("Q8", "P106", None),          # null object: never binds a join var
+    ("Q90", "P1082", "125000"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_single_pattern_point_query(triples):
+    # the reference's wdq2.pl shape: all triples of one subject
+    out = match_patterns(triples, [("Q1", "?p", "?o")])
+    assert out.columns == ["o", "p"]  # sorted variable names
+    assert _rows(out) == [("Q5", "P31"), ("Q90", "P19")]
+
+
+def test_two_pattern_join(triples):
+    out = match_patterns(
+        triples, [("?x", "P31", "Q5"), ("?x", "P19", "?place")]
+    )
+    assert out.columns == ["place", "x"]
+    assert _rows(out) == [("Q64", "Q2"), ("Q90", "Q1")]
+
+
+def test_three_pattern_chain(triples):
+    # humans, their birthplace, and the birthplace's class
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "Q5"), ("?x", "P19", "?pl"), ("?pl", "P31", "?cls")],
+    )
+    got = {tuple(r.asDict()[v] for v in ("x", "pl", "cls")) for r in out.collect()}
+    assert got == {("Q1", "Q90", "Q515"), ("Q2", "Q64", "Q515")}
+
+
+def test_parse_bgp_string_form(triples):
+    out = match_patterns(triples, "?x P31 Q5 . ?x P19 ?place")
+    assert len(_rows(out)) == 2
+    assert parse_bgp("?a P31 ?b") == [("?a", "P31", "?b")]
+    with pytest.raises(ValueError):
+        parse_bgp("?a P31")
+    with pytest.raises(ValueError):
+        parse_bgp(" . ")
+
+
+def test_repeated_var_within_pattern(triples):
+    out = match_patterns(triples, [("?x", "P279", "?x")])
+    assert _rows(out) == [("Q7",)]
+
+
+def test_all_constant_pattern_rejected(triples):
+    with pytest.raises(ValueError, match="binds no variable"):
+        match_patterns(triples, [("Q1", "P31", "Q5")])
+
+
+def test_disconnected_product_gated(triples):
+    pats = [("?x", "P31", "Q5"), ("?y", "P279", "?y")]
+    with pytest.raises(ValueError, match="disconnected"):
+        match_patterns(triples, pats)
+    out = match_patterns(triples, pats, allow_product=True)
+    assert _rows(out) == [("Q1", "Q7"), ("Q2", "Q7")]
+
+
+def test_filters_apply_when_bound(triples):
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "Q5"), ("?x", "P19", "?place")],
+        filters=["place = 'Q90'", "x rlike '^Q'"],
+    )
+    assert _rows(out) == [("Q90", "Q1")]
+
+
+def test_null_never_binds_join_var(triples):
+    # Q8's P106 object is NULL; joining through ?o must drop it
+    out = match_patterns(
+        triples, [("?s", "P106", "?o"), ("?o", "P31", "?c")]
+    )
+    assert _rows(out) == []
+    # ...but a non-join variable surfaces the NULL binding like SQL would
+    out2 = match_patterns(triples, [("?s", "P106", "?o")])  # cols (o, s)
+    assert _rows(out2) == [(None, "Q8")]
+
+
+def test_duplicate_bindings_deduped_and_bag_mode(spark):
+    dup = spark.createDataFrame(
+        [("Q1", "P31", "Q5"), ("Q1", "P31", "Q5")],
+        "subj string, pred string, obj string",
+    )
+    assert _rows(match_patterns(dup, [("?x", "P31", "Q5")])) == [("Q1",)]
+    assert _rows(
+        match_patterns(dup, [("?x", "P31", "Q5")], distinct=False)
+    ) == [("Q1",), ("Q1",)]
+
+
+def test_limit(triples):
+    out = match_patterns(triples, [("?x", "P31", "?c")], limit=2)
+    assert out.count() == 2
+
+
+def test_constant_filters_pushed_to_parquet_scan(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    ).write.parquet(p)
+    t = spark.read.parquet(p)
+    out = match_patterns(t, [("?x", "P31", "Q5"), ("?x", "P19", "?pl")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # each pattern's constants reach the scan as pushed filters
+    assert "PushedFilters" in plan
+    assert "EqualTo(pred,P31)" in plan and "EqualTo(obj,Q5)" in plan
+    assert "EqualTo(pred,P19)" in plan
+
+
+def test_matches_duckdb_self_join(spark, triples, tmp_path):
+    import duckdb
+
+    p = str(tmp_path / "t2.parquet")
+    triples.write.parquet(p)
+    got = _rows(
+        match_patterns(
+            triples,
+            [("?x", "P31", "Q5"), ("?x", "P19", "?pl"), ("?pl", "P31", "?c")],
+        ).select("c", "pl", "x")
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT DISTINCT t3.obj AS c, t2.obj AS pl, t1.subj AS x
+            FROM read_parquet('{p}/*.parquet') t1
+            JOIN read_parquet('{p}/*.parquet') t2 ON t1.subj = t2.subj
+            JOIN read_parquet('{p}/*.parquet') t3 ON t2.obj = t3.subj
+            WHERE t1.pred='P31' AND t1.obj='Q5' AND t2.pred='P19'
+              AND t3.pred='P31'
+            """
+        ).fetchall()
+    )
+    assert got == want

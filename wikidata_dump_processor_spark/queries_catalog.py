@@ -1268,3 +1268,31 @@ def _q_cur1(spark, sf_dir):
         "doc_id",
         F.coalesce(F.col("_drop_reason"), F.lit("kept")).alias("drop_reason"),
     )
+
+
+@q(
+    "bgp1_pattern_chain",
+    f"""
+    SELECT DISTINCT t2.obj AS cls, t1.obj AS sup, t3.obj AS viaf,
+                    t1.subj AS x
+    FROM {_gp('triples')} t1
+    JOIN {_gp('triples')} t2 ON t1.obj = t2.subj
+    JOIN {_gp('triples')} t3 ON t1.subj = t3.subj
+    WHERE t1.pred = 'P279' AND t2.pred = 'P31' AND t3.pred = 'P214'
+    """,
+    driver=False,
+)
+def _q_bgp1(spark, sf_dir):
+    """Conjunctive triple-pattern query (plans/bgp.py) — the SPARQL-BGP
+    generalization of wdq2.pl's point query — oracle-checked against a
+    hand-written DuckDB self-join over the SAME golden triples the kg1
+    slot certifies byte-identical to the reference semantics."""
+    from .operators.triples import extract_triples
+    from .plans.bgp import match_patterns
+
+    triples = extract_triples(_kg_parsed(spark, sf_dir))
+    return match_patterns(
+        triples,
+        [("?x", "P279", "?sup"), ("?sup", "P31", "?cls"),
+         ("?x", "P214", "?viaf")],
+    )
