@@ -102,3 +102,91 @@ def test_k_hop_plan_broadcasts_small_frontier(spark, triple_rows):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# degree stats + PageRank
+# ---------------------------------------------------------------------------
+
+from collections import Counter, defaultdict
+
+from wikidata_dump_processor_spark.operators.graph import (  # noqa: E402
+    degree_stats,
+    entity_edges,
+    pagerank,
+)
+
+EDGES = [
+    ("Q1", "Q2"), ("Q1", "Q3"), ("Q2", "Q3"), ("Q3", "Q1"),
+    ("Q4", "Q3"),  # Q5 below is a dangling sink
+    ("Q1", "Q5"),
+]
+
+
+def _py_pagerank(edges, alpha, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = Counter(s for s, _ in edges)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if out[v] == 0)
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += r[s] / out[s]
+        r = {
+            v: (1 - alpha) / n + alpha * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return r
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_degree_stats_hand_computed(spark):
+    tr = spark.createDataFrame(
+        [
+            ("Q1", "P31", "Q2"),
+            ("Q1", "P279", "Q2"),   # parallel edge: deduped
+            ("Q1", "P569", "1901"),  # literal obj: not an edge
+            ("Q2", "P31", "Q3"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r.id: (r.out_deg, r.in_deg) for r in degree_stats(tr).collect()}
+    assert got == {"Q1": (1, 0), "Q2": (1, 1), "Q3": (0, 1)}
+    assert entity_edges(tr).count() == 2
+
+
+def test_pagerank_matches_power_iteration(spark, edges_df):
+    want = _py_pagerank(EDGES, alpha=0.85, iters=15)
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges_df, alpha=0.85, max_iter=15, tol=None).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_tol_early_stop(spark, edges_df):
+    # loose tolerance stops early yet stays normalized
+    got = pagerank(edges_df, alpha=0.85, max_iter=50, tol=1e-3)
+    s = got.agg(F.sum("rank")).first()[0]
+    assert abs(s - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    star = spark.createDataFrame(
+        [(f"Q{i}", "Q0") for i in range(1, 8)], "src string, dst string"
+    )
+    r = {x.id: x.rank for x in pagerank(star, max_iter=10, tol=None).collect()}
+    assert r["Q0"] == max(r.values())
+
+
+def test_pagerank_empty(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e).count() == 0

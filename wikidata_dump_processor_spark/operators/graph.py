@@ -128,3 +128,140 @@ def neighborhood_sizes(
         .count()
     )
     return {"triples": n_triples, "entities": n_entities}
+
+
+# ---------------------------------------------------------------------------
+# whole-graph analytics: degree table + PageRank (the A2/A6 histogram
+# reports generalized from per-key counts to graph-structural measures)
+# ---------------------------------------------------------------------------
+
+
+def entity_edges(triples: DataFrame, distinct: bool = True) -> DataFrame:
+    """(src, dst) entity-to-entity edge list: triples whose subject AND
+    object are entity ids (literal objects are node attributes, not
+    edges — the same traversal rule as k_hop_subgraph)."""
+    e = (
+        triples.filter(
+            F.col("subj").rlike(ENTITY_RE) & F.col("obj").rlike(ENTITY_RE)
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    return e.distinct() if distinct else e
+
+
+def degree_stats(triples: DataFrame) -> DataFrame:
+    """Per-entity (id, out_deg, in_deg) over the DISTINCT entity-edge
+    set — one shuffle per side, a full outer merge, all codegen.  The
+    reference reports per-key statement counts (wdq2.pl:408-520
+    histograms); this is the graph-structural equivalent."""
+    e = entity_edges(triples)
+    out_d = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    in_d = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank over an (src, dst) edge DataFrame → (id, rank), ranks
+    summing to 1.  Standard damped power iteration with explicit
+    dangling-mass redistribution (public formulation, Page et al. 1999).
+
+    Spark-first plan, per iteration:
+
+    * ONE shuffle — the contribution aggregate ``groupBy(dst)``; the
+      edges⋈ranks join reuses the ranks-side hash partitioning on
+      ``id`` established below (edges are repartitioned ONCE on src and
+      cached, so Exchange reuse keeps the join co-located);
+    * the dangling mass is a single scalar aggregate per iteration (two
+      driver-side floats, never a row collect);
+    * lineage is truncated per iteration with ``localCheckpoint`` —
+      without it the plan doubles per iteration and the driver dies
+      compiling iteration 15 (the CC loop learned the same lesson,
+      operators/canonicalize.py);
+    * ``tol`` adds one L1-delta aggregate per iteration; pass
+      ``tol=None`` for fixed-step (skips that job entirely — at 100 TB
+      a fixed 10-20 steps is the usual choice).
+    """
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = edges.select("src", "dst").repartition(nparts, "src").cache()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(nparts, "id")
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # (id, out_deg NULL for dangling) — static across iterations
+    base = nodes.join(out_deg, "id", "left").cache()
+    base.count()
+
+    ranks = base.select("id", F.lit(1.0 / n).alias("rank"))
+    for _i in range(max_iter):
+        r = base.join(ranks, "id")
+        dangling = (
+            r.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(
+                r.filter(F.col("out_deg").isNotNull()).select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        new_ranks = (
+            base.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select("id", F.col("rank").alias("prev")), "id"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

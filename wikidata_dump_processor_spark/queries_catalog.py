@@ -1296,3 +1296,32 @@ def _q_bgp1(spark, sf_dir):
         [("?x", "P279", "?sup"), ("?sup", "P31", "?cls"),
          ("?x", "P214", "?viaf")],
     )
+
+
+@q(
+    "g3_degree_stats",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {_gp('triples')}
+        WHERE regexp_matches(subj, '^[QL][0-9]+$')
+          AND regexp_matches(obj, '^[QL][0-9]+$')
+    ),
+    o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_deg
+          FROM e GROUP BY 1),
+    i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_deg
+          FROM e GROUP BY 1)
+    SELECT COALESCE(o.id, i.id) AS id,
+           COALESCE(out_deg, 0) AS out_deg,
+           COALESCE(in_deg, 0) AS in_deg
+    FROM o FULL OUTER JOIN i ON o.id = i.id
+    """,
+    driver=False,
+)
+def _q_g3(spark, sf_dir):
+    """Per-entity in/out degree over the distinct entity-edge set
+    (operators/graph.degree_stats) — the graph-structural form of the
+    reference's per-key statement histograms (wdq2.pl:408-520)."""
+    from .operators.graph import degree_stats
+    from .operators.triples import extract_triples
+
+    return degree_stats(extract_triples(_kg_parsed(spark, sf_dir)))
