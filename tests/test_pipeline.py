@@ -490,3 +490,30 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     # the CLI's --pii-redact flag reached the curation chain
     cur = spark.read.parquet(os.path.join(out, "docs_curated"))
     assert "text_redacted" in cur.columns
+
+    # query subcommand (wdq2.pl invocation shape): BGP over the run's
+    # canonical triples, TSV out
+    q1 = subprocess.run(
+        [sys.executable, "-m", "wikidata_dump_processor_spark", "query",
+         out, "?x P31 ?cls", "--cpus", "4", "--limit", "5"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert q1.returncode == 0, q1.stderr[-3000:]
+    lines = [ln for ln in q1.stdout.splitlines() if "\t" in ln]
+    assert lines[0] == "cls\tx" and len(lines) == 6
+
+    # bare-id point query, ndjson out
+    subj = spark.read.parquet(
+        os.path.join(out, "canonical_triples")
+    ).select("subj").first()[0]
+    q2 = subprocess.run(
+        [sys.executable, "-m", "wikidata_dump_processor_spark", "query",
+         out, subj, "--cpus", "4", "--json"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert q2.returncode == 0, q2.stderr[-3000:]
+    recs = [json.loads(ln) for ln in q2.stdout.splitlines()
+            if ln.startswith("{")]
+    assert recs and all(set(r) == {"pred", "obj"} for r in recs)

@@ -1,7 +1,12 @@
-"""Console entry: run the KG-construction pipeline end to end.
+"""Console entry: run the KG-construction pipeline end to end, and
+query its output.
 
     python -m wikidata_dump_processor_spark PAGES_DIR OUT_DIR \
         --aliases ALIASES_DIR [--catalog CATALOG_DIR] [options]
+
+    python -m wikidata_dump_processor_spark query OUT_DIR Q42
+    python -m wikidata_dump_processor_spark query OUT_DIR \
+        "?x P31 Q5 . ?x P19 ?place"       # BGP over canonical triples
 
 The reference is runnable as ``./wdq0b.pl`` (wdq0b.pl:105-124 — the
 orchestrator script IS the deployment unit); this module is the Spark
@@ -35,8 +40,82 @@ import json
 import sys
 
 
+def _query_main(argv: list[str]) -> int:
+    """``query`` subcommand — the reference's wdq2.pl invocation shape
+    (``wdq2.pl Q42`` prints the entity's triples, wdq2.pl:347-406)
+    generalized to BGP pattern queries over a pipeline output dir:
+
+        python -m wikidata_dump_processor_spark query OUT_DIR Q42
+        python -m wikidata_dump_processor_spark query OUT_DIR \
+            "?x P31 Q5 . ?x P19 ?place" --filter "place rlike '^Q'"
+
+    Constant-predicate patterns prune the pred-partitioned
+    canonical_triples layout to single directories.
+    """
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(
+        prog="python -m wikidata_dump_processor_spark query",
+        description="BGP pattern query over a pipeline output",
+    )
+    p.add_argument("out", help="pipeline output dir (OUT_DIR of a run)")
+    p.add_argument("bgp", help="BGP string, or a bare entity id for the "
+                               "wdq2-style point query")
+    p.add_argument("--filter", action="append", default=[],
+                   help="SQL boolean over the variables (repeatable)")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--bag", action="store_true",
+                   help="keep duplicate bindings (default: distinct)")
+    p.add_argument("--table", default="canonical_triples",
+                   choices=["canonical_triples", "triples"],
+                   help="which triples snapshot to query")
+    p.add_argument("--allow-product", action="store_true",
+                   help="permit disconnected pattern groups")
+    p.add_argument("--json", action="store_true",
+                   help="ndjson output instead of TSV")
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from .plans.bgp import match_patterns, parse_bgp
+    from .session import get_spark
+
+    if " " in args.bgp.strip():
+        patterns = parse_bgp(args.bgp)
+    else:  # bare id: all triples of this entity (wdq2.pl point query)
+        patterns = [(args.bgp.strip(), "?pred", "?obj")]
+
+    spark = get_spark(
+        "wdp-query", cpus=args.cpus,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    triples = spark.read.parquet(os.path.join(args.out, args.table))
+    res = match_patterns(
+        triples, patterns, filters=args.filter,
+        distinct=not args.bag, allow_product=args.allow_product,
+        limit=args.limit,
+    )
+    cols = res.columns
+    rows = res.toLocalIterator()
+    if args.json:
+        for r in rows:
+            print(json.dumps(dict(zip(cols, r)), ensure_ascii=False))
+    else:
+        print("\t".join(cols))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import argparse
+
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
 
     p = argparse.ArgumentParser(
         prog="python -m wikidata_dump_processor_spark",
