@@ -517,3 +517,37 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     recs = [json.loads(ln) for ln in q2.stdout.splitlines()
             if ln.startswith("{")]
     assert recs and all(set(r) == {"pred", "obj"} for r in recs)
+
+
+def test_pipeline_graph_stats_stage(spark, tmp_path):
+    """graph_stats=True adds snapshot-committed degree + PageRank
+    stages over the canonical graph, resumable like every stage."""
+    out = str(tmp_path / "gs")
+    pages = datagen.gen_pages(spark, 80)
+    kw = dict(fingerprint="gs-test", graph_stats=True, pagerank_iters=5)
+    res = run_pipeline(
+        spark, pages, datagen.gen_aliases(spark), out,
+        datagen.gen_entity_catalog(spark), **kw,
+    )
+    deg = res["graph_degrees"]
+    pr = res["graph_pagerank"]
+    assert set(deg.columns) == {"id", "out_deg", "in_deg", "_part_id"}
+    assert set(pr.columns) == {"id", "rank", "_part_id"}
+    assert abs(pr.agg({"rank": "sum"}).first()[0] - 1.0) < 1e-9
+    # degree ids live in the canonical id space
+    canon = res["canonical_triples"]
+    subj_ids = {r.subj for r in canon.select("subj").distinct().collect()}
+    assert {r.id for r in deg.collect() if r.out_deg > 0} <= subj_ids
+    man = json.load(open(os.path.join(out, "_pipeline_manifest.json")))
+    assert man["graph_pagerank"]["metrics"]["iterations"] == 5
+    assert man["graph_degrees"]["state"] == "committed"
+
+    # resume: a second run skips both stages (same snapshot bytes)
+    f1 = os.path.getmtime(os.path.join(out, "graph_pagerank", "_SUCCESS"))
+    run_pipeline(
+        spark, pages, datagen.gen_aliases(spark), out,
+        datagen.gen_entity_catalog(spark), **kw,
+    )
+    assert os.path.getmtime(
+        os.path.join(out, "graph_pagerank", "_SUCCESS")
+    ) == f1

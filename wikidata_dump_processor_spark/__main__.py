@@ -153,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(connected components over the pair stream)")
     p.add_argument("--triples-by-subj", action="store_true",
                    help="add the subject-bucketed triples layout")
+    p.add_argument("--graph-stats", action="store_true",
+                   help="add the graph_degrees + graph_pagerank stages")
+    p.add_argument("--pagerank-iters", type=int, default=10)
     p.add_argument("--demo-pages", type=int, default=None,
                    help="generate N deterministic synthetic pages instead of reading PAGES")
     args = p.parse_args(argv)
@@ -202,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
         curate=args.curate,
         curate_opts=curate_opts,
         triples_by_subj=args.triples_by_subj,
+        graph_stats=args.graph_stats,
+        pagerank_iters=args.pagerank_iters,
     )
     man = res["manifest"]
     summary = {

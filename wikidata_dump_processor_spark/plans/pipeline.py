@@ -356,6 +356,8 @@ def run_pipeline(
     curate: bool = False,
     curate_opts: dict | None = None,
     triples_by_subj: bool = False,
+    graph_stats: bool = False,
+    pagerank_iters: int = 10,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -401,6 +403,10 @@ def run_pipeline(
          "all triples of Q42") is one bucket probe (bucket pruning:
          1 of ``node_buckets`` files opened) and a nodes⋈triples join
          on id plans with NO Exchange on EITHER side (co-located).
+      10. graph_degrees / graph_pagerank — (``graph_stats=True``)
+         per-entity in/out degree and fixed-step PageRank
+         (``pagerank_iters``) over the canonical entity graph
+         (operators/graph.py), both snapshot-committed + resumable.
          The pred-partitioned ``triples`` layout stays the primary —
          this is the subject-centric access path on top.
 
@@ -437,6 +443,8 @@ def run_pipeline(
         stage_names.append("curate")
     if triples_by_subj:
         stage_names.append("triples_by_subj")
+    if graph_stats:
+        stage_names += ["graph_degrees", "graph_pagerank"]
     man.plan(stage_names, fp)
     p = lambda name: os.path.join(out_dir, name)
     notify = notifier if callable(notifier) else (lambda msg: None)
@@ -681,6 +689,32 @@ def run_pipeline(
             bucket_col="subj_num", notify=notify,
         )
 
+    degrees = pr_ranks = None
+    if graph_stats:
+        _stop_check()
+        # graph-structural analytics over the CANONICAL id space (post
+        # connected-components merge), snapshot-committed + resumable
+        # like every other stage.  PageRank runs fixed-step (tol=None):
+        # at volume the per-iteration L1-delta job is pure overhead.
+        from ..operators.graph import degree_stats, entity_edges, pagerank
+
+        degrees = _write_stage(
+            spark, man, "graph_degrees", fp,
+            lambda: degree_stats(canonical_triples),
+            p("graph_degrees"), notify=notify,
+        )
+        _stop_check()
+        pr_ranks = _write_stage(
+            spark, man, "graph_pagerank", fp,
+            lambda: pagerank(
+                entity_edges(canonical_triples),
+                max_iter=pagerank_iters, tol=None,
+            ),
+            p("graph_pagerank"),
+            extra_metrics_fn=lambda: {"iterations": pagerank_iters},
+            notify=notify,
+        )
+
     notify(f"pipeline finished stages={man.committed()}")
     out = {
         "extracted": parsed,
@@ -696,6 +730,9 @@ def run_pipeline(
         out["docs_curated"] = docs_curated
     if triples_by_subj:
         out["triples_by_subj"] = tbs
+    if graph_stats:
+        out["graph_degrees"] = degrees
+        out["graph_pagerank"] = pr_ranks
     return out
 
 
