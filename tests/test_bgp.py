@@ -165,3 +165,148 @@ def test_matches_duckdb_self_join(spark, triples, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property paths (P279+/P279*) — plans/bgp._path_df over
+# operators/graph.transitive_closure_*
+# ---------------------------------------------------------------------------
+
+PATH_TRIPLES = [
+    ("Q1", "P279", "Q2"),
+    ("Q2", "P279", "Q3"),
+    ("Q2", "P279", "Q4"),
+    ("Q5", "P279", "Q6"),   # 2-cycle
+    ("Q6", "P279", "Q5"),
+    ("Q1", "P31", "Q9"),    # other predicate: never traversed
+]
+
+
+@pytest.fixture(scope="module")
+def path_triples(spark):
+    return spark.createDataFrame(
+        PATH_TRIPLES, "subj string, pred string, obj string"
+    )
+
+
+def test_path_forward_seeded(path_triples):
+    plus = match_patterns(path_triples, [("Q1", "P279+", "?a")])
+    assert _rows(plus) == [("Q2",), ("Q3",), ("Q4",)]
+    star = match_patterns(path_triples, [("Q1", "P279*", "?a")])
+    assert _rows(star) == [("Q1",), ("Q2",), ("Q3",), ("Q4",)]
+
+
+def test_path_backward_seeded(path_triples):
+    plus = match_patterns(path_triples, [("?x", "P279+", "Q3")])
+    assert _rows(plus) == [("Q1",), ("Q2",)]
+    star = match_patterns(path_triples, [("?x", "P279*", "Q3")])
+    assert _rows(star) == [("Q1",), ("Q2",), ("Q3",)]
+
+
+def test_path_cycle_terminates(path_triples):
+    out = match_patterns(path_triples, [("Q5", "P279+", "?a")])
+    assert _rows(out) == [("Q5",), ("Q6",)]  # cycle reaches itself
+
+
+def test_path_both_variables_full_closure(path_triples):
+    out = match_patterns(path_triples, [("?x", "P279+", "?a")])
+    assert out.columns == ["a", "x"]
+    got = {(r["x"], r["a"]) for r in out.collect()}
+    assert got == {
+        ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"),
+        ("Q2", "Q3"), ("Q2", "Q4"),
+        ("Q5", "Q6"), ("Q5", "Q5"), ("Q6", "Q5"), ("Q6", "Q6"),
+    }
+
+
+def test_path_cycle_membership_var(path_triples):
+    out = match_patterns(path_triples, [("?x", "P279+", "?x")])
+    assert _rows(out) == [("Q5",), ("Q6",)]
+
+
+def test_path_joins_with_plain_pattern(path_triples):
+    # ?x P31 Q9 pins Q1; its * ancestors chain through the closure
+    out = match_patterns(
+        path_triples, [("?x", "P31", "Q9"), ("?x", "P279+", "?anc")]
+    )
+    got = {(r["x"], r["anc"]) for r in out.collect()}
+    assert got == {("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4")}
+
+
+def test_path_string_form_and_var_modifier_rejected(path_triples):
+    out = match_patterns(path_triples, "Q1 P279+ ?a")
+    assert len(_rows(out)) == 3
+    with pytest.raises(ValueError, match="variable predicate"):
+        match_patterns(path_triples, [("?x", "?p+", "?y")])
+
+
+def test_closure_pairs_gate(path_triples):
+    from wikidata_dump_processor_spark.operators.graph import (
+        transitive_closure_pairs,
+    )
+
+    e = path_triples.filter("pred = 'P279'").selectExpr(
+        "subj as src", "obj as dst"
+    )
+    with pytest.raises(ValueError, match="max_pairs"):
+        transitive_closure_pairs(e, max_pairs=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / UNION
+# ---------------------------------------------------------------------------
+
+
+def test_optional_left_join(triples):
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        optional=[[("?x", "P19", "?pl")]],
+    )
+    got = {(r["x"], r["c"], r["pl"]) for r in out.collect()}
+    assert got == {
+        ("Q1", "Q5", "Q90"),
+        ("Q2", "Q5", "Q64"),
+        ("Q3", "Q55", "Q90"),
+        ("Q90", "Q515", None),   # OPTIONAL did not match: NULL-extended
+        ("Q64", "Q515", None),
+    }
+
+
+def test_optional_must_share_a_variable(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        match_patterns(
+            triples, [("?x", "P31", "?c")], optional=[[("?y", "P19", "?pl")]]
+        )
+
+
+def test_optional_filter_applies_after_join(triples):
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        optional=["?x P19 ?pl"],
+        filters=["pl = 'Q90' OR pl IS NULL"],
+    )
+    got = {(r["x"], r["pl"]) for r in out.collect()}
+    assert got == {("Q1", "Q90"), ("Q3", "Q90"), ("Q90", None), ("Q64", None)}
+
+
+def test_union_branches(triples):
+    from wikidata_dump_processor_spark.plans.bgp import match_union
+
+    out = match_union(triples, ["?x P31 Q5", "?x P31 Q55"])
+    assert _rows(out) == [("Q1",), ("Q2",), ("Q3",)]
+
+
+def test_union_missing_vars_null(triples):
+    from wikidata_dump_processor_spark.plans.bgp import match_union
+
+    out = match_union(
+        triples, ["?x P31 Q5", "?x P19 ?pl"], filters=["x != 'Q3'"]
+    )
+    assert sorted(out.columns) == ["pl", "x"]
+    got = {(r["x"], r["pl"]) for r in out.collect()}
+    assert got == {
+        ("Q1", None), ("Q2", None),            # branch 1: pl unbound
+        ("Q1", "Q90"), ("Q2", "Q64"),          # branch 2
+    }

@@ -48,6 +48,13 @@ def _canon(pdf: pd.DataFrame) -> list[str]:
 
 @pytest.fixture(scope="module")
 def ddb():
+    # the demoted oracles' SQL reads the golden parquet fixtures directly
+    # (e.g. bgp1 self-joins .golden/n2000/triples.parquet) — build them
+    # here so the suite is self-sufficient on a fresh checkout instead of
+    # relying on a prior driver run having materialized .golden/
+    from wikidata_dump_processor_spark.golden import ensure_golden
+
+    ensure_golden()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

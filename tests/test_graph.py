@@ -190,3 +190,87 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
 def test_pagerank_empty(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# transitive closure — golden-checked against an independent Python
+# closure over the SAME pipeline-derived P279 edge set
+# ---------------------------------------------------------------------------
+
+
+def _py_closure(edges):
+    """Warshall-free oracle: per-node BFS over the adjacency list."""
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    pairs = set()
+    for start in adj:
+        seen, stack = set(), list(adj[start])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        pairs.update((start, n) for n in seen)
+    return pairs
+
+
+def _entity_edges_py(rows):
+    ent = re.compile(r"^[QL]\d+$")
+    return sorted(
+        {(s, o) for s, _p, o in rows if ent.match(s) and o and ent.match(o)}
+    )
+
+
+def test_transitive_closure_pairs_golden(spark, triple_rows):
+    # the full entity graph, not one predicate: datagen's P31 chains give
+    # it real depth AND cycles (human -> Q5 -> Q105 <-> Q155), so this
+    # exercises the fixpoint loop, not just the edge copy
+    from wikidata_dump_processor_spark.operators.graph import (
+        entity_edges,
+        transitive_closure_pairs,
+    )
+
+    tr, rows = triple_rows
+    edges = _entity_edges_py(rows)
+    assert len(edges) > 100
+    want = _py_closure(edges)
+    got = {
+        (r.src, r.dst)
+        for r in transitive_closure_pairs(entity_edges(tr)).collect()
+    }
+    assert got == want
+    # depth: the graph must chain (closure strictly bigger than edges)
+    assert len(want) > len(edges)
+
+
+def test_transitive_closure_from_golden(spark, triple_rows):
+    from wikidata_dump_processor_spark.operators.graph import (
+        entity_edges,
+        transitive_closure_from,
+    )
+
+    tr, rows = triple_rows
+    edges = _entity_edges_py(rows)
+    want_all = _py_closure(edges)
+    seeds = sorted({s for s, _ in edges})[:5]
+    want = {d for s, d in want_all if s in seeds}
+    got = {
+        r.id for r in transitive_closure_from(entity_edges(tr), seeds).collect()
+    }
+    assert got == want
+
+
+def test_transitive_closure_empty_and_fixpoint_gate(spark):
+    from wikidata_dump_processor_spark.operators.graph import (
+        transitive_closure_from,
+    )
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert transitive_closure_from(e, ["Q1"]).count() == 0
+    chain = spark.createDataFrame(
+        [(f"Q{i}", f"Q{i+1}") for i in range(10)], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="fixpoint"):
+        transitive_closure_from(chain, ["Q0"], max_iters=3)

@@ -265,3 +265,135 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# transitive closure: the property-path primitive (P279*/P279+ walks)
+# ---------------------------------------------------------------------------
+
+
+def transitive_closure_from(
+    edges: DataFrame,
+    seeds: list[str] | DataFrame,
+    broadcast_limit: int = 5_000_000,
+    max_frontier: int | None = 50_000_000,
+    max_iters: int = 64,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Nodes reachable from ``seeds`` via >= 1 edge — the seeded side of
+    a SPARQL property path (``Q5 P279+ ?anc``: seeds={Q5} over the P279
+    edge set).  The reference walks exactly this shape one hop at a time
+    (wdq3.pl's property walk, wdq3.pl:1-60); here the walk runs to the
+    FIXPOINT, cycle-safe, instead of a caller-managed loop.
+
+    ``edges`` is (src, dst) — for a property path, one predicate's edge
+    set, which on the pred-partitioned triples layout is a single
+    partition directory scan.  Returns a 1-column ``id`` DataFrame.
+
+    Plan per iteration: one join of the (small) frontier against edges —
+    broadcast while the frontier is under ``broadcast_limit`` rows, so a
+    typical class-hierarchy walk never shuffles the edge table — plus an
+    anti-join against the visited set; lineage truncated per hop.
+    Unlike ``k_hop_subgraph`` there is no hop bound: termination is the
+    fixpoint (frontier empties), with ``max_iters`` as a loud runaway
+    gate (a diameter-64 class chain is a data bug, not a query).
+    """
+    spark = edges.sparkSession
+    if isinstance(seeds, DataFrame):
+        frontier = seeds.toDF("id").distinct()
+    else:
+        frontier = spark.createDataFrame([(s,) for s in set(seeds)], "id string")
+    e = edges.select(F.col("src"), F.col("dst"))
+    reached = None
+    for _i in range(max_iters):
+        n_frontier = frontier.count()  # 1-column id set: a short job
+        if n_frontier == 0:
+            return reached if reached is not None else frontier.limit(0)
+        if max_frontier is not None and n_frontier > max_frontier:
+            raise ValueError(
+                f"closure frontier hit {n_frontier} ids (> max_frontier="
+                f"{max_frontier}): a supernode closure is exploding — "
+                "pre-filter the edge set or raise the gate"
+            )
+        f = F.broadcast(frontier) if n_frontier <= broadcast_limit else frontier
+        nxt = (
+            e.join(f.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .filter(F.col("id").isNotNull())
+            .distinct()
+        )
+        if reached is None:
+            frontier = nxt
+            reached = nxt
+        else:
+            frontier = nxt.join(reached, "id", "left_anti")
+            reached = reached.unionByName(frontier)
+        if checkpoint:
+            frontier = frontier.localCheckpoint(eager=False)
+            reached = reached.localCheckpoint(eager=False)
+    raise ValueError(
+        f"closure did not reach a fixpoint in max_iters={max_iters} "
+        "iterations — raise the gate if the hierarchy is genuinely deeper"
+    )
+
+
+def transitive_closure_pairs(
+    edges: DataFrame,
+    max_pairs: int | None = 100_000_000,
+    max_iters: int = 64,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The full transitive closure (src, dst): every pair connected by a
+    path of >= 1 edge — the both-variables property path
+    (``?x P279+ ?anc``).  Semi-naive evaluation: the delta (new pairs of
+    the last round) extends by one edge per iteration and only
+    never-seen pairs survive the anti-join, so cycles terminate and no
+    path is re-derived.
+
+    Worst case the closure holds O(V^2) pairs — on a 100 TB graph that
+    is a data-set-sized output, so ``max_pairs`` fails loudly as the
+    closure accumulates (checked per iteration against the running
+    total, BEFORE the next expensive expansion round).  Real class/
+    taxon hierarchies are shallow and sparse; the gate is for the query
+    that hits the wrong predicate.
+
+    Per iteration: one shuffle join (delta.dst = edges.src) + one
+    anti-join on the accumulated closure; lineage truncated per round.
+    """
+    e = edges.select(F.col("src"), F.col("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    closure = e.distinct()
+    if checkpoint:
+        closure = closure.localCheckpoint(eager=False)
+    delta = closure
+    for _i in range(max_iters):
+        total = closure.count()
+        if max_pairs is not None and total > max_pairs:
+            raise ValueError(
+                f"transitive closure hit {total} pairs (> max_pairs="
+                f"{max_pairs}): this predicate's closure is "
+                "dataset-sized — walk it seeded (transitive_closure_from) "
+                "or raise the gate"
+            )
+        new = (
+            delta.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("_nxt")),
+                "dst",
+            )
+            .select(F.col("src"), F.col("_nxt").alias("dst"))
+            .distinct()
+            .join(closure, ["src", "dst"], "left_anti")
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=False)
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new)
+        if checkpoint:
+            closure = closure.localCheckpoint(eager=False)
+        delta = new
+    raise ValueError(
+        f"closure did not converge in max_iters={max_iters} rounds — "
+        "raise the gate if paths are genuinely that long"
+    )

@@ -48,6 +48,13 @@ from pyspark.sql import functions as F
 
 POSITIONS = ("subj", "pred", "obj")
 
+# constant predicate with a SPARQL path modifier: P279+ (one or more
+# edges) / P279* (zero or more).  Only these two of SPARQL 1.1's path
+# operators exist because they are the ones that change the PLAN SHAPE
+# (a fixpoint loop instead of a scan); sequences and alternations are
+# already expressible as plain multi-pattern BGPs.
+PATH_RE = re.compile(r"^(.+)([+*])$")
+
 # selectivity weight of a constant in each position: a constant subject
 # pins one entity (the reference's wdq2 access path), a constant object
 # pins a value's backlinks, a constant predicate alone still matches a
@@ -113,6 +120,93 @@ def _pattern_df(triples: DataFrame, pattern) -> DataFrame:
     return df.select(*[F.col(pos).alias(v) for v, pos in proj.items()])
 
 
+def _term_df(triples: DataFrame, pattern) -> DataFrame:
+    """Dispatch: plain scan-with-filters, or property-path closure."""
+    if _path_op(pattern) is not None:
+        return _path_df(triples, pattern)
+    return _pattern_df(triples, pattern)
+
+
+def _path_op(pattern) -> tuple[str, str] | None:
+    """(base_pred, op) when the pattern's predicate is a constant path
+    term like ``P279+`` / ``P279*``; None for plain patterns."""
+    pred = pattern[1]
+    if is_var(pred):
+        if PATH_RE.match(pred[1:] or " "):
+            raise ValueError(
+                f"path modifier on a variable predicate: {pred!r} — "
+                "paths apply to constant predicates only"
+            )
+        return None
+    m = PATH_RE.match(pred)
+    return (m.group(1), m.group(2)) if m else None
+
+
+def _path_df(triples: DataFrame, pattern) -> DataFrame:
+    """A property-path pattern → its variable-binding DataFrame.
+
+    ``?x P279+ ?anc`` (both variables) materializes the predicate's full
+    transitive closure — gated, see transitive_closure_pairs; a constant
+    endpoint walks the seeded fixpoint instead (never more state than
+    the true reachable set).  The closure runs over ONE predicate's edge
+    set, which the pred-partitioned triples layout prunes to a single
+    partition directory.
+    """
+    from ..operators.graph import (
+        transitive_closure_from,
+        transitive_closure_pairs,
+    )
+
+    subj, _pred, obj = pattern
+    base_pred, op = _path_op(pattern)
+    reflexive = op == "*"
+    spark = triples.sparkSession
+    edges = triples.filter(F.col("pred") == F.lit(base_pred)).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    if not is_var(subj) and is_var(obj):
+        v = obj[1:]
+        reach = transitive_closure_from(edges, [subj])
+        if reflexive:
+            reach = reach.unionByName(
+                spark.createDataFrame([(subj,)], "id string")
+            ).distinct()
+        return reach.select(F.col("id").alias(v))
+    if is_var(subj) and not is_var(obj):
+        v = subj[1:]
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        reach = transitive_closure_from(rev, [obj])
+        if reflexive:
+            reach = reach.unionByName(
+                spark.createDataFrame([(obj,)], "id string")
+            ).distinct()
+        return reach.select(F.col("id").alias(v))
+    if is_var(subj) and is_var(obj):
+        vs, vo = subj[1:], obj[1:]
+        pairs = transitive_closure_pairs(edges)
+        if reflexive:
+            nodes = (
+                edges.select(F.col("src").alias("id"))
+                .unionByName(edges.select(F.col("dst").alias("id")))
+                .filter(F.col("id").isNotNull())
+                .distinct()
+            )
+            pairs = pairs.unionByName(
+                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+            ).distinct()
+        if vs == vo:
+            # ?x P+ ?x: cycle membership (P* degenerates to "any node of
+            # the edge set" via the reflexive pairs just added)
+            return pairs.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(vs)
+            )
+        return pairs.select(F.col("src").alias(vs), F.col("dst").alias(vo))
+    raise ValueError(
+        f"path pattern {pattern!r} binds no variable; all-constant "
+        "existence tests are not supported"
+    )
+
+
 def _filter_vars(expr: str, known: set[str]) -> set[str]:
     toks = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
     return toks & known
@@ -125,6 +219,7 @@ def match_patterns(
     distinct: bool = True,
     allow_product: bool = False,
     limit: int | None = None,
+    optional: list[list[tuple[str, str, str]] | str] | tuple = (),
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query; one output column
     per distinct ``?variable``.
@@ -132,16 +227,33 @@ def match_patterns(
     ``triples`` needs columns (subj, pred, obj); extra columns are
     ignored.  ``patterns`` is a list of 3-term tuples (or a ``parse_bgp``
     string); a term starting with ``?`` is a variable, anything else an
-    exact constant.  NULL never binds a join variable (standard inner
+    exact constant.  A constant predicate may carry a path modifier —
+    ``P279+`` (one or more edges) / ``P279*`` (zero or more) — evaluated
+    as a cycle-safe fixpoint over that predicate's edge set
+    (operators/graph.transitive_closure_*; the both-variables form is
+    gated, see there).  NULL never binds a join variable (standard inner
     join semantics on both engines); non-join variables may surface
     NULL bindings exactly as a SQL self-join would.
+
+    ``optional`` is a list of pattern groups (each a list of 3-term
+    tuples or a ``parse_bgp`` string) LEFT-joined to the required block
+    on their shared variables — SPARQL's OPTIONAL: bindings survive with
+    NULLs where the group does not match.  Each group must share at
+    least one variable with the required block.  A filter naming an
+    optional variable is applied AFTER that group's left join (SQL
+    WHERE-over-LEFT-JOIN semantics: it drops NULL-extended rows unless
+    it handles NULL itself — SPARQL's filter-inside-OPTIONAL is not
+    reproduced).
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
     if not patterns:
         raise ValueError("empty BGP")
+    opt_groups = [
+        parse_bgp(g) if isinstance(g, str) else list(g) for g in optional
+    ]
     all_vars: set[str] = set()
-    for p in patterns:
+    for p in list(patterns) + [p for g in opt_groups for p in g]:
         if len(p) != 3:
             raise ValueError(f"pattern needs 3 terms: {p!r}")
         all_vars |= _pattern_vars(p)
@@ -151,7 +263,7 @@ def match_patterns(
     # greedy start: most-bound pattern
     start = max(remaining, key=_score)
     remaining.remove(start)
-    out = _pattern_df(base, start)
+    out = _term_df(base, start)
     bound = _pattern_vars(start)
 
     pending_filters = list(filters)
@@ -174,7 +286,7 @@ def match_patterns(
         if connected:
             nxt = max(connected, key=_score)
             remaining.remove(nxt)
-            rhs = _pattern_df(base, nxt)
+            rhs = _term_df(base, nxt)
             shared = sorted(_pattern_vars(nxt) & bound)
             out = out.join(rhs, on=shared, how="inner")
         else:
@@ -185,11 +297,28 @@ def match_patterns(
                 )
             nxt = max(remaining, key=_score)
             remaining.remove(nxt)
-            out = out.crossJoin(_pattern_df(base, nxt))
+            out = out.crossJoin(_term_df(base, nxt))
         bound |= _pattern_vars(nxt)
         out = _apply_ready_filters(out)
 
-    # every variable is bound once the loop drains, so every filter has
+    for group in opt_groups:
+        gvars = set()
+        for p in group:
+            gvars |= _pattern_vars(p)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group!r} shares no variable with the "
+                "required patterns (a cross-join OPTIONAL is a query bug)"
+            )
+        rhs = match_patterns(
+            triples, group, distinct=False, allow_product=allow_product
+        )
+        out = out.join(rhs, on=shared, how="left")
+        bound |= gvars
+        out = _apply_ready_filters(out)
+
+    # every variable is bound once the loops drain, so every filter has
     # been applied by now (a filter naming an unknown column fails in
     # analysis at its application site, with Spark's own error)
     assert not pending_filters, pending_filters
@@ -200,3 +329,55 @@ def match_patterns(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def match_union(
+    triples: DataFrame,
+    branches: list[list[tuple[str, str, str]] | str],
+    filters: list[str] | tuple[str, ...] = (),
+    distinct: bool = True,
+    allow_product: bool = False,
+    limit: int | None = None,
+) -> DataFrame:
+    """SPARQL UNION: evaluate each branch as its own BGP and take the
+    multiset union, aligned by variable name — a variable missing from a
+    branch surfaces as NULL (standard SPARQL semantics).  Shared
+    ``filters`` are pushed into EVERY branch (each branch applies the
+    ones whose variables it binds; a filter no branch can evaluate is an
+    error in that branch, surfaced by Spark's analyzer)."""
+    if not branches:
+        raise ValueError("empty UNION")
+    dfs = [
+        match_patterns(
+            triples,
+            b,
+            filters=[
+                fx
+                for fx in filters
+                if _filter_vars(
+                    fx,
+                    _union_branch_vars(b),
+                )
+            ],
+            distinct=False,
+            allow_product=allow_product,
+        )
+        for b in branches
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    out = out.select(*sorted(out.columns))
+    if distinct:
+        out = out.distinct()
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def _union_branch_vars(branch) -> set[str]:
+    pats = parse_bgp(branch) if isinstance(branch, str) else branch
+    vs: set[str] = set()
+    for p in pats:
+        vs |= _pattern_vars(p)
+    return vs

@@ -1325,3 +1325,38 @@ def _q_g3(spark, sf_dir):
     from .operators.triples import extract_triples
 
     return degree_stats(extract_triples(_kg_parsed(spark, sf_dir)))
+
+
+@q(
+    "pp1_entity_closure",
+    f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM {_gp('triples')}
+        WHERE regexp_matches(subj, '^[QL][0-9]+$')
+          AND regexp_matches(obj, '^[QL][0-9]+$')
+    ),
+    cl(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src
+    )
+    SELECT src AS x, dst AS anc FROM cl
+    """,
+    driver=False,
+)
+def _q_pp1(spark, sf_dir):
+    """Transitive closure over the entity graph
+    (operators/graph.transitive_closure_pairs — the engine behind BGP
+    property paths ``P279+``/``P279*``, plans/bgp.py) — oracle-checked
+    against DuckDB's own recursive-CTE fixpoint on the SAME golden
+    triples.  The reference walks this relation one hop per invocation
+    (wdq3.pl:1-60); the closure is its fixpoint generalization.  The
+    synthetic graph has real depth AND cycles (human -> Q5 -> Q105 <->
+    Q155), so both engines must terminate on cyclic paths to agree."""
+    from .operators.graph import entity_edges, transitive_closure_pairs
+    from .operators.triples import extract_triples
+
+    pairs = transitive_closure_pairs(
+        entity_edges(extract_triples(_kg_parsed(spark, sf_dir)))
+    )
+    return pairs.select(F.col("src").alias("x"), F.col("dst").alias("anc"))
