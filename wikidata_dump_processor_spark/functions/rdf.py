@@ -1,0 +1,163 @@
+"""N-Triples export/import for the canonical triples table.
+
+The reference emits its extraction as TSV and JSON (wdq1.pl:745-828);
+the lingua franca for exchanging a knowledge graph is W3C N-Triples —
+one triple per line, `<subj-iri> <pred-iri> <object> .` — which load
+directly into any RDF store.  This sink maps the engine's (subj, pred,
+obj) rows onto Wikidata's public IRI scheme (entity ids under
+``http://www.wikidata.org/entity/``, direct-claim properties under
+``http://www.wikidata.org/prop/direct/`` — the layout Wikidata's own
+RDF dumps use) and serializes entirely with JVM expressions: IRI wrap
+via concat, literal escaping via four literal ``replace`` passes (the
+N-Triples ECHAR set: ``\\ " \n \r`` — backslash FIRST, or the escapes
+it introduces would be re-escaped).  No Python node, no shuffle: the
+writer is a narrow map over however the triples are already
+partitioned, so a 100 TB export parallelizes like the scan itself.
+
+``read_ntriples`` is the inverse (regexp term split + unescape chain),
+giving a byte-exact round-trip — tested write→read == input.
+
+Lines with a NULL term are dropped (count them upstream via the stats
+tables if lineage matters): N-Triples has no NULL, and a partial line
+would corrupt the file for downstream loaders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ENTITY_IRI = "http://www.wikidata.org/entity/"
+PROP_DIRECT_IRI = "http://www.wikidata.org/prop/direct/"
+
+_ENTITY_RE = r"^[QPL]\d+$"
+
+
+def _escape_literal(c: Column) -> Column:
+    # ECHAR escapes, backslash first so later passes don't double-escape
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return c
+
+
+def _unescape_literal(c: Column) -> Column:
+    # Sequential replace CANNOT unescape correctly (wire ``\\n`` — an
+    # escaped backslash then a literal n — would see its tail rewritten
+    # by the ``\n`` pass).  Exact inverse instead: split on DOUBLE
+    # backslashes (so segments contain only genuine single-char
+    # escapes), unescape each segment, rejoin with a single backslash.
+    segs = F.split(c, r"\\\\")
+    fix = lambda s: F.replace(  # noqa: E731
+        F.replace(
+            F.replace(s, F.lit("\\n"), F.lit("\n")),
+            F.lit("\\r"),
+            F.lit("\r"),
+        ),
+        F.lit('\\"'),
+        F.lit('"'),
+    )
+    return F.array_join(F.transform(segs, fix), "\\")
+
+
+def ntriples_line(
+    subj: Column,
+    pred: Column,
+    obj: Column,
+    entity_iri: str = ENTITY_IRI,
+    prop_iri: str = PROP_DIRECT_IRI,
+) -> Column:
+    """One N-Triples line; entity-shaped objects (``^[QPL]\\d+$``)
+    become IRIs, everything else a quoted escaped literal."""
+    obj_term = F.when(
+        obj.rlike(_ENTITY_RE),
+        F.concat(F.lit("<" + entity_iri), obj, F.lit(">")),
+    ).otherwise(F.concat(F.lit('"'), _escape_literal(obj), F.lit('"')))
+    return F.concat(
+        F.lit("<" + entity_iri), subj, F.lit("> "),
+        F.lit("<" + prop_iri), pred, F.lit("> "),
+        obj_term,
+        F.lit(" ."),
+    )
+
+
+def to_ntriples(
+    triples: DataFrame,
+    entity_iri: str = ENTITY_IRI,
+    prop_iri: str = PROP_DIRECT_IRI,
+) -> DataFrame:
+    """(subj, pred, obj) → 1-column ``line`` DataFrame of N-Triples."""
+    t = triples.filter(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    )
+    return t.select(
+        ntriples_line(
+            F.col("subj"), F.col("pred"), F.col("obj"), entity_iri, prop_iri
+        ).alias("line")
+    )
+
+
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    entity_iri: str = ENTITY_IRI,
+    prop_iri: str = PROP_DIRECT_IRI,
+) -> None:
+    """Write the export as (compressed) text part-files — one file per
+    partition, so export parallelism = scan parallelism."""
+    w = to_ntriples(triples, entity_iri, prop_iri).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+# term grammar for the reader: IRI <...> | quoted literal (ECHAR-aware:
+# a literal ends at the first quote NOT preceded by an odd backslash
+# run — "([^"\\]|\\.)*" handles that exactly)
+_LINE_RE = (
+    r"^<([^>]*)>\s+<([^>]*)>\s+"
+    r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\")\s*\.\s*$"
+)
+
+
+def read_ntriples(
+    spark_or_df,
+    path: str | None = None,
+    entity_iri: str = ENTITY_IRI,
+    prop_iri: str = PROP_DIRECT_IRI,
+) -> DataFrame:
+    """Parse N-Triples text back to (subj, pred, obj) — the IRI
+    prefixes are stripped back to bare ids; literal objects unescape.
+    Accepts (spark, path) or a 1-column DataFrame of lines.  Malformed
+    lines are dropped (regexp mismatch → empty capture), never fatal —
+    the per-row-error rule every 100 TB reader here follows."""
+    if path is not None:
+        lines = spark_or_df.read.text(path).withColumnRenamed("value", "line")
+    else:
+        lines = spark_or_df
+    c = F.col("line")
+    m = lambda i: F.regexp_extract(c, _LINE_RE, i)  # noqa: E731
+    parsed = lines.select(
+        m(1).alias("_s"), m(2).alias("_p"), m(3).alias("_oi"),
+        m(4).alias("_ol"),
+        c.rlike(_LINE_RE).alias("_ok"),
+        # an IRI object participates in capture 3 (our ids are never
+        # empty IRIs, so non-empty == IRI branch; the literal branch
+        # leaves it ""); the empty literal "" also lands correctly in
+        # the otherwise() arm below
+        (m(3) != "").alias("_obj_is_iri"),
+    ).filter(F.col("_ok"))
+    strip = lambda col, pref: F.when(  # noqa: E731
+        col.startswith(pref), F.substring(col, len(pref) + 1, 1 << 20)
+    ).otherwise(col)
+    return parsed.select(
+        strip(F.col("_s"), entity_iri).alias("subj"),
+        strip(F.col("_p"), prop_iri).alias("pred"),
+        F.when(
+            F.col("_obj_is_iri"), strip(F.col("_oi"), entity_iri)
+        ).otherwise(_unescape_literal(F.col("_ol"))).alias("obj"),
+    )

@@ -1360,3 +1360,31 @@ def _q_pp1(spark, sf_dir):
         entity_edges(extract_triples(_kg_parsed(spark, sf_dir)))
     )
     return pairs.select(F.col("src").alias("x"), F.col("dst").alias("anc"))
+
+
+@q(
+    "rdf1_ntriples_export",
+    f"""
+    SELECT '<http://www.wikidata.org/entity/' || subj
+        || '> <http://www.wikidata.org/prop/direct/' || pred || '> '
+        || CASE WHEN regexp_matches(obj, '^[QPL][0-9]+$')
+                THEN '<http://www.wikidata.org/entity/' || obj || '>'
+                ELSE chr(34) || replace(replace(replace(replace(obj,
+                        chr(92), chr(92)||chr(92)), chr(34), chr(92)||chr(34)),
+                        chr(10), chr(92)||'n'), chr(13), chr(92)||'r') || chr(34)
+           END || ' .' AS line
+    FROM {_gp('triples')}
+    WHERE obj IS NOT NULL
+    """,
+    driver=False,
+)
+def _q_rdf1(spark, sf_dir):
+    """N-Triples export (functions/rdf.to_ntriples) — the RDF exchange
+    sink the reference's TSV/JSON writers (wdq1.pl:745-828) map onto in
+    any triple store; oracle-checked line-for-line against DuckDB's own
+    replace-chain serialization of the SAME golden triples (the JSON
+    struct values carry real quotes, so the ECHAR escaping is live)."""
+    from .functions.rdf import to_ntriples
+    from .operators.triples import extract_triples
+
+    return to_ntriples(extract_triples(_kg_parsed(spark, sf_dir)))
