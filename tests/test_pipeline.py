@@ -551,3 +551,34 @@ def test_pipeline_graph_stats_stage(spark, tmp_path):
     assert os.path.getmtime(
         os.path.join(out, "graph_pagerank", "_SUCCESS")
     ) == f1
+
+
+def test_export_rdf_stage_and_resume(spark, tmp_path):
+    """export_rdf=True: the rdf_ntriples stage commits gzip N-Triples
+    matching to_ntriples(canonical) line-for-line, carries row/byte
+    lineage in the manifest, and a re-run resumes (no rewrite)."""
+    from wikidata_dump_processor_spark.functions.rdf import to_ntriples
+
+    out = str(tmp_path / "rdf_pipe")
+    pages = datagen.gen_pages(spark, 120)
+    res = run_pipeline(
+        spark, pages, datagen.gen_aliases(spark), out,
+        fingerprint="n=120", export_rdf=True,
+    )
+    got = sorted(r.line for r in res["rdf_ntriples"].collect())
+    want = sorted(
+        r.line for r in to_ntriples(res["canonical_triples"]).collect()
+    )
+    assert got == want and len(got) > 0
+    m = json.load(open(os.path.join(out, MANIFEST)))
+    assert m["rdf_ntriples"]["state"] == "committed"
+    assert m["rdf_ntriples"]["metrics"]["rows"] == len(got)
+    assert m["rdf_ntriples"]["metrics"]["bytes"] > 0
+    # resume: committed_at unchanged on re-run
+    before = m["rdf_ntriples"]["committed_at"]
+    run_pipeline(
+        spark, datagen.gen_pages(spark, 120), datagen.gen_aliases(spark),
+        out, fingerprint="n=120", export_rdf=True,
+    )
+    after = json.load(open(os.path.join(out, MANIFEST)))
+    assert after["rdf_ntriples"]["committed_at"] == before

@@ -121,3 +121,29 @@ def test_roundtrip_randomized(spark):
     back = read_ntriples(to_ntriples(df))
     got = sorted((r.subj, r.pred, r.obj) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_url_subject_serializes_as_own_iri(spark):
+    # the canonical table's mention triples carry page-URL subjects —
+    # these must NOT be glued onto the entity prefix (CLI regression)
+    df = spark.createDataFrame(
+        [
+            ("https://en.example.org/wiki/Page 1", "Pmention", "Q1"),
+            ("Q2", "P31", "Q5"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = sorted(r.line for r in to_ntriples(df).collect())
+    assert lines == [
+        f"<{ENTITY_IRI}Q2> <{PROP_DIRECT_IRI}P31> <{ENTITY_IRI}Q5> .",
+        "<https://en.example.org/wiki/Page%201> "
+        f"<{PROP_DIRECT_IRI}Pmention> <{ENTITY_IRI}Q1> .",
+    ]
+    back = read_ntriples(to_ntriples(df))
+    got = sorted((r.subj, r.pred, r.obj) for r in back.collect())
+    # the percent-encoded space is one-way by design (IRIs can't carry
+    # raw spaces); everything else round-trips
+    assert got == [
+        ("Q2", "P31", "Q5"),
+        ("https://en.example.org/wiki/Page%201", "Pmention", "Q1"),
+    ]

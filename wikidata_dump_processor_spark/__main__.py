@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="add the subject-bucketed triples layout")
     p.add_argument("--graph-stats", action="store_true",
                    help="add the graph_degrees + graph_pagerank stages")
+    p.add_argument("--export-rdf", action="store_true",
+                   help="add the rdf_ntriples stage: canonical triples "
+                        "as gzip W3C N-Triples (Wikidata IRI scheme)")
     p.add_argument("--pagerank-iters", type=int, default=10)
     p.add_argument("--demo-pages", type=int, default=None,
                    help="generate N deterministic synthetic pages instead of reading PAGES")
@@ -207,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         triples_by_subj=args.triples_by_subj,
         graph_stats=args.graph_stats,
         pagerank_iters=args.pagerank_iters,
+        export_rdf=args.export_rdf,
     )
     man = res["manifest"]
     summary = {

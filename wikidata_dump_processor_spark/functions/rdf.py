@@ -14,6 +14,11 @@ it introduces would be re-escaped).  No Python node, no shuffle: the
 writer is a narrow map over however the triples are already
 partitioned, so a 100 TB export parallelizes like the scan itself.
 
+Subjects that are not entity ids but absolute IRIs of their own — the
+mention triples' page-URL subjects — serialize verbatim as IRIs (with
+IRI-unsafe characters percent-encoded), never glued onto the entity
+prefix.
+
 ``read_ntriples`` is the inverse (regexp term split + unescape chain),
 giving a byte-exact round-trip — tested write→read == input.
 
@@ -31,6 +36,38 @@ ENTITY_IRI = "http://www.wikidata.org/entity/"
 PROP_DIRECT_IRI = "http://www.wikidata.org/prop/direct/"
 
 _ENTITY_RE = r"^[QPL]\d+$"
+# an absolute IRI of its own (e.g. the mention triples' page-URL
+# subjects) — serialized verbatim, NOT glued onto the entity prefix
+_ABS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def _iri_safe(c: Column) -> Column:
+    """Percent-encode the characters that would corrupt an N-Triples
+    IRI term (space, angle brackets, quote).  One-way by design: the
+    reader keeps IRI content verbatim, it does not percent-decode."""
+    c = F.replace(c, F.lit(" "), F.lit("%20"))
+    c = F.replace(c, F.lit("<"), F.lit("%3C"))
+    c = F.replace(c, F.lit(">"), F.lit("%3E"))
+    c = F.replace(c, F.lit('"'), F.lit("%22"))
+    return c
+
+
+def _node_term(c: Column, entity_iri: str) -> Column:
+    """Subject/entity-object serialization: bare entity ids go under
+    the entity prefix; absolute IRIs (page-URL subjects of the mention
+    triples) stay their own IRI; anything else falls back to the
+    entity prefix (a relative id)."""
+    return (
+        F.when(
+            c.rlike(_ENTITY_RE),
+            F.concat(F.lit("<" + entity_iri), c, F.lit(">")),
+        )
+        .when(
+            c.rlike(_ABS_IRI_RE),
+            F.concat(F.lit("<"), _iri_safe(c), F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit("<" + entity_iri), _iri_safe(c), F.lit(">")))
+    )
 
 
 def _escape_literal(c: Column) -> Column:
@@ -75,8 +112,8 @@ def ntriples_line(
         F.concat(F.lit("<" + entity_iri), obj, F.lit(">")),
     ).otherwise(F.concat(F.lit('"'), _escape_literal(obj), F.lit('"')))
     return F.concat(
-        F.lit("<" + entity_iri), subj, F.lit("> "),
-        F.lit("<" + prop_iri), pred, F.lit("> "),
+        _node_term(subj, entity_iri), F.lit(" "),
+        F.lit("<" + prop_iri), _iri_safe(pred), F.lit("> "),
         obj_term,
         F.lit(" ."),
     )

@@ -177,8 +177,8 @@ def _with_lineage(df: DataFrame) -> DataFrame:
     return df.withColumn("_part_id", F.spark_partition_id())
 
 
-def _list_stage_files(spark: SparkSession, path: str):
-    """Recursive (rel_path, bytes) parquet listing via the Hadoop FS API —
+def _list_stage_files(spark: SparkSession, path: str, suffix: str = ".parquet"):
+    """Recursive (rel_path, bytes) data-file listing via the Hadoop FS API —
     the same client ``preflight_input_gate`` uses, so lineage metrics work
     on object storage, not just local disk (a local ``glob`` on an
     s3a:// path silently lists nothing).  Returns (scheme, base, files)."""
@@ -193,7 +193,7 @@ def _list_stage_files(spark: SparkSession, path: str):
     while it.hasNext():
         st = it.next()
         fpath = str(st.getPath().toUri().getPath())
-        if fpath.endswith(".parquet"):
+        if fpath.endswith(suffix):
             files.append((os.path.relpath(fpath, base), int(st.getLen())))
     return (str(scheme) if scheme is not None else None), base, files
 
@@ -358,6 +358,7 @@ def run_pipeline(
     triples_by_subj: bool = False,
     graph_stats: bool = False,
     pagerank_iters: int = 10,
+    export_rdf: bool = False,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -445,6 +446,8 @@ def run_pipeline(
         stage_names.append("triples_by_subj")
     if graph_stats:
         stage_names += ["graph_degrees", "graph_pagerank"]
+    if export_rdf:
+        stage_names.append("rdf_ntriples")
     man.plan(stage_names, fp)
     p = lambda name: os.path.join(out_dir, name)
     notify = notifier if callable(notifier) else (lambda msg: None)
@@ -715,6 +718,44 @@ def run_pipeline(
             notify=notify,
         )
 
+    rdf_lines = None
+    if export_rdf:
+        _stop_check()
+        # 11. rdf_ntriples — the canonical triples serialized as W3C
+        # N-Triples (functions/rdf.py: Wikidata IRI scheme, ECHAR
+        # escaping, a narrow JVM map) into gzip text part-files, under
+        # the same snapshot/resume contract as every parquet stage.
+        # Text files carry no parquet footers, so the lineage row count
+        # is one bounded job over the SOURCE parquet (the exported
+        # non-null triple count), and bytes come from the same Hadoop-FS
+        # listing the parquet stages use (suffix .gz).
+        stage, rpath = "rdf_ntriples", p("rdf_ntriples")
+        if man.done(stage, fp):
+            rdf_lines = spark.read.text(
+                man.stages[stage]["path"]
+            ).withColumnRenamed("value", "line")
+        else:
+            from ..functions.rdf import write_ntriples
+
+            man.start(stage, fp)
+            notify(f"stage {stage} started")
+            write_ntriples(canonical_triples, rpath)
+            n_rows = canonical_triples.filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            ).count()
+            _, _, gz_files = _list_stage_files(spark, rpath, suffix=".gz")
+            man.commit(stage, fp, rpath, {
+                "rows": n_rows,
+                "bytes": sum(b for _, b in gz_files),
+                "files": len(gz_files),
+            })
+            notify(f"stage {stage} finished rows={n_rows}")
+            rdf_lines = spark.read.text(rpath).withColumnRenamed(
+                "value", "line"
+            )
+
     notify(f"pipeline finished stages={man.committed()}")
     out = {
         "extracted": parsed,
@@ -733,6 +774,8 @@ def run_pipeline(
     if graph_stats:
         out["graph_degrees"] = degrees
         out["graph_pagerank"] = pr_ranks
+    if export_rdf:
+        out["rdf_ntriples"] = rdf_lines
     return out
 
 

@@ -1365,8 +1365,22 @@ def _q_pp1(spark, sf_dir):
 @q(
     "rdf1_ntriples_export",
     f"""
-    SELECT '<http://www.wikidata.org/entity/' || subj
-        || '> <http://www.wikidata.org/prop/direct/' || pred || '> '
+    SELECT CASE
+             WHEN regexp_matches(subj, '^[QPL][0-9]+$')
+                THEN '<http://www.wikidata.org/entity/' || subj || '>'
+             WHEN regexp_matches(subj, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                THEN '<' || replace(replace(replace(replace(subj,
+                     ' ', '%20'), '<', '%3C'), '>', '%3E'),
+                     chr(34), '%22') || '>'
+             ELSE '<http://www.wikidata.org/entity/' ||
+                  replace(replace(replace(replace(subj,
+                  ' ', '%20'), '<', '%3C'), '>', '%3E'),
+                  chr(34), '%22') || '>'
+           END
+        || ' <http://www.wikidata.org/prop/direct/' ||
+           replace(replace(replace(replace(pred,
+           ' ', '%20'), '<', '%3C'), '>', '%3E'), chr(34), '%22')
+        || '> '
         || CASE WHEN regexp_matches(obj, '^[QPL][0-9]+$')
                 THEN '<http://www.wikidata.org/entity/' || obj || '>'
                 ELSE chr(34) || replace(replace(replace(replace(obj,
