@@ -50,7 +50,10 @@ def _query_main(argv: list[str]) -> int:
             "?x P31 Q5 . ?x P19 ?place" --filter "place rlike '^Q'"
 
     Constant-predicate patterns prune the pred-partitioned
-    canonical_triples layout to single directories.
+    canonical_triples layout to single directories.  A constant
+    predicate may carry a SPARQL path modifier (``P279+`` / ``P279*``,
+    fixpoint closure); ``--optional`` adds left-joined groups and
+    ``--union`` extra branches.
     """
     import argparse
     import os
@@ -64,6 +67,14 @@ def _query_main(argv: list[str]) -> int:
                                "wdq2-style point query")
     p.add_argument("--filter", action="append", default=[],
                    help="SQL boolean over the variables (repeatable)")
+    p.add_argument("--optional", action="append", default=[],
+                   help="OPTIONAL pattern group (BGP string, repeatable): "
+                        "left-joined on shared variables, NULL where "
+                        "unmatched")
+    p.add_argument("--union", action="append", default=[],
+                   help="additional UNION branch (BGP string, repeatable): "
+                        "branches align by variable name, missing "
+                        "variables surface NULL")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--bag", action="store_true",
                    help="keep duplicate bindings (default: distinct)")
@@ -78,24 +89,33 @@ def _query_main(argv: list[str]) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
 
-    from .plans.bgp import match_patterns, parse_bgp
+    from .plans.bgp import match_patterns, match_union, parse_bgp
     from .session import get_spark
 
     if " " in args.bgp.strip():
         patterns = parse_bgp(args.bgp)
     else:  # bare id: all triples of this entity (wdq2.pl point query)
         patterns = [(args.bgp.strip(), "?pred", "?obj")]
+    if args.union and args.optional:
+        p.error("--union and --optional cannot combine in one query")
 
     spark = get_spark(
         "wdp-query", cpus=args.cpus,
         shuffle_partitions=args.shuffle_partitions,
     )
     triples = spark.read.parquet(os.path.join(args.out, args.table))
-    res = match_patterns(
-        triples, patterns, filters=args.filter,
-        distinct=not args.bag, allow_product=args.allow_product,
-        limit=args.limit,
-    )
+    if args.union:
+        res = match_union(
+            triples, [patterns, *args.union], filters=args.filter,
+            distinct=not args.bag, allow_product=args.allow_product,
+            limit=args.limit,
+        )
+    else:
+        res = match_patterns(
+            triples, patterns, filters=args.filter,
+            distinct=not args.bag, allow_product=args.allow_product,
+            limit=args.limit, optional=args.optional,
+        )
     cols = res.columns
     rows = res.toLocalIterator()
     if args.json:
