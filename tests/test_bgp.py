@@ -310,3 +310,91 @@ def test_union_missing_vars_null(triples):
         ("Q1", None), ("Q2", None),            # branch 1: pl unbound
         ("Q1", "Q90"), ("Q2", "Q64"),          # branch 2
     }
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: UNION filter semantics, zero-length universe,
+# seeded both-variables paths
+# ---------------------------------------------------------------------------
+
+
+def test_union_filter_on_branch_unbound_var_drops_rows(triples):
+    # SQL WHERE-over-UNION: branch 1 never binds ?pl, so its rows carry
+    # pl=NULL and the filter must DROP them, not pass them through
+    from wikidata_dump_processor_spark.plans.bgp import match_union
+
+    out = match_union(
+        triples, ["?x P31 Q5", "?x P19 ?pl"], filters=["pl = 'Q90'"]
+    )
+    got = {(r["x"], r["pl"]) for r in out.collect()}
+    assert got == {("Q1", "Q90"), ("Q3", "Q90")}
+
+
+def test_union_mixed_filter_does_not_crash(triples):
+    # a filter naming one branch-bound and one branch-unbound variable
+    # must apply post-union, not explode in analysis
+    from wikidata_dump_processor_spark.plans.bgp import match_union
+
+    out = match_union(
+        triples,
+        ["?x P31 Q5", "?x P19 ?pl"],
+        filters=["x != 'Q3' AND pl = 'Q90'"],
+    )
+    got = {(r["x"], r["pl"]) for r in out.collect()}
+    assert got == {("Q1", "Q90")}
+
+
+def test_zero_length_path_matches_nodes_without_pred_edges(triples):
+    # SPARQL: a zero-length path matches ANY term — Q90/Q64 have no
+    # P279 edges at all but must still bind (x, x) under P279*
+    out = match_patterns(
+        triples, [("?x", "P31", "Q515"), ("?x", "P279*", "?a")]
+    )
+    got = {(r["x"], r["a"]) for r in out.collect()}
+    assert got == {("Q90", "Q90"), ("Q64", "Q64")}
+
+
+def test_unseeded_star_path_ranges_over_all_terms(triples):
+    # standalone ?x P279* ?a: zero-length bindings cover every term of
+    # the dataset (subj ∪ obj, nulls out), plus the predicate's closure
+    out = match_patterns(triples, [("?x", "P279*", "?a")])
+    got = {(r["x"], r["a"]) for r in out.collect()}
+    terms = {t for s, _p, o in TRIPLES for t in (s, o) if t is not None}
+    assert got == {(t, t) for t in terms}  # only P279 edge is Q7's self-loop
+
+
+def test_bound_path_walks_seeded_not_full_closure(path_triples, monkeypatch):
+    # a both-variables path whose endpoint is already bound must walk
+    # SEEDED from the bindings — the full-closure evaluator (with its
+    # max_pairs gate) must never run
+    import wikidata_dump_processor_spark.operators.graph as G
+
+    def boom(*a, **k):
+        raise AssertionError("full closure must not run for a bound path")
+
+    monkeypatch.setattr(G, "transitive_closure_pairs", boom)
+    out = match_patterns(
+        path_triples, [("?x", "P31", "Q9"), ("?x", "P279+", "?anc")]
+    )
+    got = {(r["x"], r["anc"]) for r in out.collect()}
+    assert got == {("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4")}
+    star = match_patterns(
+        path_triples, [("?x", "P31", "Q9"), ("?x", "P279*", "?anc")]
+    )
+    got = {(r["x"], r["anc"]) for r in star.collect()}
+    assert got == {("Q1", "Q1"), ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4")}
+
+
+def test_bound_path_seeds_from_object_side(path_triples):
+    # first pattern binds ?anc={Q2}; the path then walks BACKWARD from
+    # the object-side bindings: x P279+ Q2 == {Q1}
+    out = match_patterns(
+        path_triples, [("?anc", "P279", "Q3"), ("?x", "P279+", "?anc")]
+    )
+    got = {(r["anc"], r["x"]) for r in out.collect()}
+    assert got == {("Q2", "Q1")}
+    star = match_patterns(
+        path_triples, [("?anc", "P279", "Q3"), ("?x", "P279*", "?anc")]
+    )
+    got = {(r["anc"], r["x"]) for r in star.collect()}
+    assert got == {("Q2", "Q1"), ("Q2", "Q2")}

@@ -397,3 +397,73 @@ def transitive_closure_pairs(
         f"closure did not converge in max_iters={max_iters} rounds — "
         "raise the gate if paths are genuinely that long"
     )
+
+
+def transitive_closure_pairs_from(
+    edges: DataFrame,
+    seeds: list[str] | DataFrame,
+    max_pairs: int | None = 100_000_000,
+    max_iters: int = 64,
+    broadcast_limit: int = 5_000_000,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(src, dst) closure pairs restricted to ``src IN seeds`` — the
+    per-seed generalization of ``transitive_closure_from`` (which
+    collapses per-seed identity into one reachable set).  The BGP
+    planner uses it when a both-variables path pattern joins variables
+    that are ALREADY bound: the walk state is then the true reachable
+    pair set of the bindings, never the predicate's full closure
+    (whose ``max_pairs`` gate a selective query must not hit).
+
+    Per iteration: one join of the delta's frontier column against the
+    edge set + one anti-join on the accumulated pairs; same gates and
+    lineage truncation as ``transitive_closure_pairs``.
+    """
+    spark = edges.sparkSession
+    if isinstance(seeds, DataFrame):
+        s = seeds.toDF("id").distinct()
+    else:
+        s = spark.createDataFrame([(x,) for x in set(seeds)], "id string")
+    e = edges.select(F.col("src"), F.col("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    n_seeds = s.count()
+    if n_seeds == 0:
+        return e.limit(0)
+    sj = F.broadcast(s) if n_seeds <= broadcast_limit else s
+    closure = (
+        e.join(sj.withColumnRenamed("id", "src"), "src", "left_semi")
+        .distinct()
+    )
+    if checkpoint:
+        closure = closure.localCheckpoint(eager=False)
+    delta = closure
+    for _i in range(max_iters):
+        total = closure.count()
+        if max_pairs is not None and total > max_pairs:
+            raise ValueError(
+                f"seeded closure hit {total} pairs (> max_pairs="
+                f"{max_pairs}) — the seed set's reachable space is "
+                "dataset-sized; raise the gate or narrow the seeds"
+            )
+        new = (
+            delta.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("_nxt")),
+                "dst",
+            )
+            .select(F.col("src"), F.col("_nxt").alias("dst"))
+            .distinct()
+            .join(closure, ["src", "dst"], "left_anti")
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=False)
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new)
+        if checkpoint:
+            closure = closure.localCheckpoint(eager=False)
+        delta = new
+    raise ValueError(
+        f"seeded closure did not converge in max_iters={max_iters} rounds "
+        "— raise the gate if paths are genuinely that long"
+    )

@@ -84,6 +84,12 @@ def parse_bgp(text: str) -> list[tuple[str, str, str]]:
 
 
 def _score(pattern) -> int:
+    # a both-variables PATH pattern materializes a closure — always
+    # order it last so its endpoint variables are bound first and the
+    # walk can run SEEDED from the bindings instead of over the full
+    # edge set (see _path_df)
+    if _path_op(pattern) is not None and is_var(pattern[0]) and is_var(pattern[2]):
+        return -1
     return sum(
         _POS_WEIGHT[pos]
         for pos, term in zip(POSITIONS, pattern)
@@ -142,19 +148,53 @@ def _path_op(pattern) -> tuple[str, str] | None:
     return (m.group(1), m.group(2)) if m else None
 
 
-def _path_df(triples: DataFrame, pattern) -> DataFrame:
+def _reflexive_seed(spark, reach: DataFrame, seed: str) -> DataFrame:
+    """`*` with a constant endpoint: the zero-length path binds the
+    constant itself (SPARQL: a zero-length path matches any term)."""
+    return reach.unionByName(
+        spark.createDataFrame([(seed,)], "id string")
+    ).distinct()
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """All terms of the triples relation (distinct subj ∪ obj) — the
+    zero-length-path universe for an unseeded both-variables `*` path.
+    SPARQL's zero-length paths match ANY term of the dataset, not just
+    endpoints of the path's own predicate: ``?x P31 Q9 . ?x P279* ?a``
+    must bind (x, x) even for an x with no P279 edges at all."""
+    return (
+        triples.select(F.col("subj").alias("id"))
+        .unionByName(triples.select(F.col("obj").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+
+
+def _path_df(
+    triples: DataFrame,
+    pattern,
+    seed_df: DataFrame | None = None,
+    seed_var: str | None = None,
+) -> DataFrame:
     """A property-path pattern → its variable-binding DataFrame.
 
-    ``?x P279+ ?anc`` (both variables) materializes the predicate's full
-    transitive closure — gated, see transitive_closure_pairs; a constant
-    endpoint walks the seeded fixpoint instead (never more state than
-    the true reachable set).  The closure runs over ONE predicate's edge
-    set, which the pred-partitioned triples layout prunes to a single
-    partition directory.
+    Constant endpoints walk the seeded fixpoint
+    (operators/graph.transitive_closure_from — never more state than
+    the true reachable set).  The both-variables form materializes the
+    predicate's closure — but when the planner already bound one of
+    its variables, it passes those bindings as ``seed_df`` (+ which
+    variable they bind as ``seed_var``) and the walk runs as a SEEDED
+    pair closure (transitive_closure_pairs_from): the state is the
+    bindings' true reachable pairs, so a selective query never touches
+    the full-closure ``max_pairs`` gate.  Only the fully unbound form
+    pays for (and is gated on) the full closure.  The closure runs
+    over ONE predicate's edge set, which the pred-partitioned triples
+    layout prunes to a single partition directory.
     """
     from ..operators.graph import (
         transitive_closure_from,
         transitive_closure_pairs,
+        transitive_closure_pairs_from,
     )
 
     subj, _pred, obj = pattern
@@ -165,38 +205,48 @@ def _path_df(triples: DataFrame, pattern) -> DataFrame:
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     if not is_var(subj) and is_var(obj):
-        v = obj[1:]
         reach = transitive_closure_from(edges, [subj])
         if reflexive:
-            reach = reach.unionByName(
-                spark.createDataFrame([(subj,)], "id string")
-            ).distinct()
-        return reach.select(F.col("id").alias(v))
+            reach = _reflexive_seed(spark, reach, subj)
+        return reach.select(F.col("id").alias(obj[1:]))
     if is_var(subj) and not is_var(obj):
-        v = subj[1:]
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         reach = transitive_closure_from(rev, [obj])
         if reflexive:
-            reach = reach.unionByName(
-                spark.createDataFrame([(obj,)], "id string")
-            ).distinct()
-        return reach.select(F.col("id").alias(v))
+            reach = _reflexive_seed(spark, reach, obj)
+        return reach.select(F.col("id").alias(subj[1:]))
     if is_var(subj) and is_var(obj):
         vs, vo = subj[1:], obj[1:]
+        if seed_df is not None and vs != vo:
+            seeds = seed_df.toDF("id").distinct().localCheckpoint(eager=False)
+            if seed_var == vs:
+                pairs = transitive_closure_pairs_from(edges, seeds)
+                out = pairs.select(F.col("src").alias(vs), F.col("dst").alias(vo))
+                if reflexive:
+                    out = out.unionByName(
+                        seeds.select(F.col("id").alias(vs), F.col("id").alias(vo))
+                    ).distinct()
+                return out
+            assert seed_var == vo, seed_var
+            rev = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            pairs = transitive_closure_pairs_from(rev, seeds)
+            out = pairs.select(F.col("dst").alias(vs), F.col("src").alias(vo))
+            if reflexive:
+                out = out.unionByName(
+                    seeds.select(F.col("id").alias(vs), F.col("id").alias(vo))
+                ).distinct()
+            return out
         pairs = transitive_closure_pairs(edges)
         if reflexive:
-            nodes = (
-                edges.select(F.col("src").alias("id"))
-                .unionByName(edges.select(F.col("dst").alias("id")))
-                .filter(F.col("id").isNotNull())
-                .distinct()
-            )
+            terms = _graph_terms(triples)
             pairs = pairs.unionByName(
-                nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+                terms.select(F.col("id").alias("src"), F.col("id").alias("dst"))
             ).distinct()
         if vs == vo:
-            # ?x P+ ?x: cycle membership (P* degenerates to "any node of
-            # the edge set" via the reflexive pairs just added)
+            # ?x P+ ?x: cycle membership (?x P* ?x degenerates to "any
+            # term of the dataset" via the reflexive term universe)
             return pairs.filter(F.col("src") == F.col("dst")).select(
                 F.col("src").alias(vs)
             )
@@ -286,8 +336,24 @@ def match_patterns(
         if connected:
             nxt = max(connected, key=_score)
             remaining.remove(nxt)
-            rhs = _term_df(base, nxt)
             shared = sorted(_pattern_vars(nxt) & bound)
+            po = _path_op(nxt)
+            if (
+                po is not None
+                and is_var(nxt[0])
+                and is_var(nxt[2])
+                and nxt[0] != nxt[2]
+            ):
+                # both-variables path joining bound variables: seed the
+                # walk from the bindings (subject side preferred — the
+                # forward walk) instead of the full closure
+                vs, vo = nxt[0][1:], nxt[2][1:]
+                sv = vs if vs in bound else vo
+                rhs = _path_df(
+                    base, nxt, seed_df=out.select(sv).distinct(), seed_var=sv
+                )
+            else:
+                rhs = _term_df(base, nxt)
             out = out.join(rhs, on=shared, how="inner")
         else:
             if not allow_product:
@@ -340,25 +406,31 @@ def match_union(
     limit: int | None = None,
 ) -> DataFrame:
     """SPARQL UNION: evaluate each branch as its own BGP and take the
-    multiset union, aligned by variable name — a variable missing from a
-    branch surfaces as NULL (standard SPARQL semantics).  Shared
-    ``filters`` are pushed into EVERY branch (each branch applies the
-    ones whose variables it binds; a filter no branch can evaluate is an
-    error in that branch, surfaced by Spark's analyzer)."""
+    multiset union, aligned by variable name — a variable missing from
+    a branch surfaces as NULL (standard SPARQL semantics).
+
+    Shared ``filters`` follow SQL WHERE-over-UNION semantics: a filter
+    is pushed into the branches only when EVERY branch binds all of its
+    variables (then pushdown == post-filter and is cheaper); otherwise
+    it applies once to the aligned union, where a branch's missing
+    variable is NULL — so a row whose branch never binds the filtered
+    variable is DROPPED (NULL comparisons are never true), exactly as
+    the equivalent SQL would, never silently passed through.  A filter
+    naming a variable no branch binds fails in analysis with Spark's
+    own unresolved-column error."""
     if not branches:
         raise ValueError("empty UNION")
+    branch_vars = [_union_branch_vars(b) for b in branches]
+    all_vars = set().union(*branch_vars)
+    pushable, post = [], []
+    for fx in filters:
+        fv = _filter_vars(fx, all_vars)
+        (pushable if all(fv <= bv for bv in branch_vars) else post).append(fx)
     dfs = [
         match_patterns(
             triples,
             b,
-            filters=[
-                fx
-                for fx in filters
-                if _filter_vars(
-                    fx,
-                    _union_branch_vars(b),
-                )
-            ],
+            filters=pushable,
             distinct=False,
             allow_product=allow_product,
         )
@@ -368,6 +440,8 @@ def match_union(
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     out = out.select(*sorted(out.columns))
+    for fx in post:
+        out = out.filter(F.expr(fx))
     if distinct:
         out = out.distinct()
     if limit is not None:
