@@ -274,3 +274,88 @@ def test_transitive_closure_empty_and_fixpoint_gate(spark):
     )
     with pytest.raises(ValueError, match="fixpoint"):
         transitive_closure_from(chain, ["Q0"], max_iters=3)
+
+
+def _py_triangles(edges):
+    """Independent oracle: brute-force over the undirected simple graph."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict = {}
+    seen = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t in seen:
+                continue
+            seen.add(t)
+            for n in t:
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _augment_with_closing_edges(rows):
+    """The datagen graph is layered (sources -> targets, no lateral
+    edges) and therefore triangle-FREE; close wedges on small hubs
+    (in-degree 2..8) deterministically so the triangle machinery has
+    real work.  Mirrored by the g4 oracle SQL in queries_catalog."""
+    edges = _entity_edges_py(rows)
+    indeg: dict = {}
+    for _a, b in edges:
+        indeg[b] = indeg.get(b, 0) + 1
+    hubs = {b for b, d in indeg.items() if 2 <= d <= 8}
+    by_hub: dict = {}
+    for a, b in edges:
+        if b in hubs:
+            by_hub.setdefault(b, []).append(a)
+    closing = sorted(
+        {
+            (x, y)
+            for srcs in by_hub.values()
+            for x in srcs
+            for y in srcs
+            if x < y
+        }
+    )
+    assert closing, "augmentation produced no closing edges"
+    return closing
+
+
+def test_triangle_counts_golden(spark, triple_rows):
+    from wikidata_dump_processor_spark.operators.graph import triangle_counts
+
+    tr, rows = triple_rows
+    closing = _augment_with_closing_edges(rows)
+    aug = tr.unionByName(
+        spark.createDataFrame(
+            [(a, "Pclose", b) for a, b in closing],
+            "subj string, pred string, obj string",
+        )
+    )
+    want = _py_triangles(_entity_edges_py(rows) + closing)
+    assert want, "augmented graph must contain triangles"
+    got = {r.id: r.triangles for r in triangle_counts(aug).collect()}
+    assert got == want
+
+
+def test_triangle_counts_hand_graph(spark):
+    from wikidata_dump_processor_spark.operators.graph import triangle_counts
+
+    # K4 on Q1..Q4 (4 triangles, 3 per node) + a pendant + a self-loop
+    edges = [
+        ("Q1", "Q2"), ("Q1", "Q3"), ("Q1", "Q4"),
+        ("Q2", "Q3"), ("Q2", "Q4"), ("Q3", "Q4"),
+        ("Q4", "Q5"),            # pendant: no triangle
+        ("Q6", "Q6"),            # self-loop: ignored
+        ("Q2", "Q1"),            # reverse duplicate: same undirected edge
+    ]
+    t = spark.createDataFrame(
+        [(a, "P0", b) for a, b in edges], "subj string, pred string, obj string"
+    )
+    got = {r.id: r.triangles for r in triangle_counts(t).collect()}
+    assert got == {"Q1": 3, "Q2": 3, "Q3": 3, "Q4": 3}

@@ -1402,3 +1402,78 @@ def _q_rdf1(spark, sf_dir):
     from .operators.triples import extract_triples
 
     return to_ntriples(extract_triples(_kg_parsed(spark, sf_dir)))
+
+
+@q(
+    "g4_triangles",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT subj AS a, obj AS b
+        FROM {_gp('triples')}
+        WHERE regexp_matches(subj, '^[QL][0-9]+$')
+          AND regexp_matches(obj, '^[QL][0-9]+$')
+          AND subj <> obj
+    ),
+    hubs AS (
+        SELECT b FROM e GROUP BY b HAVING count(*) BETWEEN 2 AND 8
+    ),
+    closing AS (
+        SELECT e1.a AS a, e2.a AS b
+        FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a < e2.a
+        WHERE e1.b IN (SELECT b FROM hubs)
+    ),
+    und AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+            SELECT a, b FROM e UNION ALL SELECT a, b FROM closing
+        ) WHERE a <> b
+    ),
+    tri AS (
+        SELECT u1.a AS x, u1.b AS y, u2.b AS z
+        FROM und u1
+        JOIN und u2 ON u2.a = u1.b
+        JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b
+    )
+    SELECT node AS id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    GROUP BY 1
+    """,
+    driver=False,
+)
+def _q_g4(spark, sf_dir):
+    """Per-entity triangle counts (operators/graph.triangle_counts,
+    degree-ordered wedge plan) vs DuckDB's lexicographic-order 3-way
+    self-join — the triangle set is orientation-invariant, so the two
+    enumeration orders must agree exactly.  The synthetic graph is
+    layered and triangle-free by construction, so BOTH engines first
+    close wedges on small hubs (in-degree 2..8) with the identical
+    deterministic rule; mirrored in
+    tests/test_graph._augment_with_closing_edges."""
+    from .operators.graph import entity_edges, triangle_counts
+    from .operators.triples import extract_triples
+
+    tr = extract_triples(_kg_parsed(spark, sf_dir))
+    e = entity_edges(tr).filter(F.col("src") != F.col("dst"))
+    hubs = (
+        e.groupBy(F.col("dst"))
+        .agg(F.count("*").alias("_d"))
+        .filter((F.col("_d") >= 2) & (F.col("_d") <= 8))
+        .select("dst")
+    )
+    eh = e.join(hubs, "dst", "left_semi")
+    closing = (
+        eh.select(F.col("dst"), F.col("src").alias("a"))
+        .join(eh.select(F.col("dst"), F.col("src").alias("b")), "dst")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("subj"),
+            F.lit("Pclose").alias("pred"),
+            F.col("b").alias("obj"),
+        )
+        .distinct()
+    )
+    aug = tr.select("subj", "pred", "obj").unionByName(closing)
+    return triangle_counts(aug)
