@@ -359,3 +359,60 @@ def test_triangle_counts_hand_graph(spark):
     )
     got = {r.id: r.triangles for r in triangle_counts(t).collect()}
     assert got == {"Q1": 3, "Q2": 3, "Q3": 3, "Q4": 3}
+
+
+def test_clustering_coefficients_hand_graph(spark):
+    from wikidata_dump_processor_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle Q1-Q2-Q3 plus pendant Q3-Q4
+    edges = [("Q1", "Q2"), ("Q2", "Q3"), ("Q1", "Q3"), ("Q3", "Q4")]
+    t = spark.createDataFrame(
+        [(a, "P0", b) for a, b in edges], "subj string, pred string, obj string"
+    )
+    got = {
+        r.id: (r.und_deg, r.triangles, round(r.coeff, 6))
+        for r in clustering_coefficients(t).collect()
+    }
+    assert got == {
+        "Q1": (2, 1, 1.0),
+        "Q2": (2, 1, 1.0),
+        "Q3": (3, 1, round(1 / 3, 6)),
+        "Q4": (1, 0, 0.0),
+    }
+
+
+def test_clustering_coefficients_golden(spark, triple_rows):
+    from wikidata_dump_processor_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    tr, rows = triple_rows
+    closing = _augment_with_closing_edges(rows)
+    aug = tr.unionByName(
+        spark.createDataFrame(
+            [(a, "Pclose", b) for a, b in closing],
+            "subj string, pred string, obj string",
+        )
+    )
+    edges = _entity_edges_py(rows) + closing
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tris = _py_triangles(edges)
+    got = {
+        r.id: (r.und_deg, r.triangles, round(r.coeff, 9))
+        for r in clustering_coefficients(aug).collect()
+    }
+    want = {
+        n: (
+            d,
+            tris.get(n, 0),
+            round(2 * tris.get(n, 0) / (d * (d - 1)), 9) if d >= 2 else 0.0,
+        )
+        for n, d in deg.items()
+    }
+    assert got == want

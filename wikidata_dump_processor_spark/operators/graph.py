@@ -527,3 +527,41 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
     return nodes.groupBy("id").agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+def clustering_coefficients(triples: DataFrame) -> DataFrame:
+    """Local clustering coefficient per entity over the undirected
+    entity graph → (id, und_deg, triangles, coeff) where
+    ``coeff = 2*triangles / (und_deg * (und_deg - 1))`` — how close an
+    entity's neighborhood is to a clique (Watts-Strogatz 1998).  Joins
+    the ``triangle_counts`` output against the undirected degree table;
+    degree-0/1 nodes (no possible triangle) report coeff 0.0, matching
+    the usual convention."""
+    ee = entity_edges(triples)
+    und = (
+        ee.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("und_deg"))
+    )
+    tri = triangle_counts(triples)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "und_deg",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("und_deg") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("und_deg") * (F.col("und_deg") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -1477,3 +1477,89 @@ def _q_g4(spark, sf_dir):
     )
     aug = tr.select("subj", "pred", "obj").unionByName(closing)
     return triangle_counts(aug)
+
+
+@q(
+    "g5_clustering",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT subj AS a, obj AS b
+        FROM {_gp('triples')}
+        WHERE regexp_matches(subj, '^[QL][0-9]+$')
+          AND regexp_matches(obj, '^[QL][0-9]+$')
+          AND subj <> obj
+    ),
+    hubs AS (
+        SELECT b FROM e GROUP BY b HAVING count(*) BETWEEN 2 AND 8
+    ),
+    closing AS (
+        SELECT e1.a AS a, e2.a AS b
+        FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a < e2.a
+        WHERE e1.b IN (SELECT b FROM hubs)
+    ),
+    und AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+            SELECT a, b FROM e UNION ALL SELECT a, b FROM closing
+        ) WHERE a <> b
+    ),
+    tri AS (
+        SELECT u1.a AS x, u1.b AS y, u2.b AS z
+        FROM und u1
+        JOIN und u2 ON u2.a = u1.b
+        JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b
+    ),
+    tcount AS (
+        SELECT node AS id, CAST(count(*) AS BIGINT) AS triangles
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        GROUP BY 1
+    ),
+    deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS und_deg
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1
+    )
+    SELECT deg.id, und_deg,
+           COALESCE(triangles, 0) AS triangles,
+           CASE WHEN und_deg >= 2
+                THEN 2.0 * COALESCE(triangles, 0) / (und_deg * (und_deg - 1))
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tcount ON deg.id = tcount.id
+    """,
+    driver=False,
+)
+def _q_g5(spark, sf_dir):
+    """Local clustering coefficients
+    (operators/graph.clustering_coefficients) on the same hub-closed
+    augmented graph as g4 — DuckDB recomputes degree + triangles + the
+    Watts-Strogatz ratio independently; the repr-exact compare holds
+    because both engines evaluate 2.0*t/(d*(d-1)) in IEEE doubles with
+    the identical operation order."""
+    from .operators.graph import clustering_coefficients, entity_edges
+    from .operators.triples import extract_triples
+
+    tr = extract_triples(_kg_parsed(spark, sf_dir))
+    e = entity_edges(tr).filter(F.col("src") != F.col("dst"))
+    hubs = (
+        e.groupBy(F.col("dst"))
+        .agg(F.count("*").alias("_d"))
+        .filter((F.col("_d") >= 2) & (F.col("_d") <= 8))
+        .select("dst")
+    )
+    eh = e.join(hubs, "dst", "left_semi")
+    closing = (
+        eh.select(F.col("dst"), F.col("src").alias("a"))
+        .join(eh.select(F.col("dst"), F.col("src").alias("b")), "dst")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("subj"),
+            F.lit("Pclose").alias("pred"),
+            F.col("b").alias("obj"),
+        )
+        .distinct()
+    )
+    aug = tr.select("subj", "pred", "obj").unionByName(closing)
+    return clustering_coefficients(aug)
