@@ -192,3 +192,31 @@ def test_xxh64_matches_spark(spark):
         assert spark_xxhash64(r.s) == r.h1
         assert spark_xxhash64(r.s, ("int", r.seed)) == r.h2
         assert spark_xxhash64(r.s, ("long", r.seed)) == r.h3
+
+
+def test_predicate_stats_sketch_within_rsd(spark):
+    """HLL++ sketch counts stay within a conservative multiple of the
+    configured relative standard deviation of the exact counts."""
+    from wikidata_dump_processor_spark.operators.triples import (
+        extract_triples,
+        predicate_stats,
+    )
+
+    parsed = TR.parse_entities(extract_text(datagen.gen_pages(spark, 300)))
+    tr = extract_triples(parsed).localCheckpoint(eager=True)
+    exact = {
+        r.pred: (r.n_triples, r.n_subj, r.n_obj)
+        for r in predicate_stats(tr, exact=True).collect()
+    }
+    approx = {
+        r.pred: (r.n_triples, r.n_subj, r.n_obj)
+        for r in predicate_stats(tr, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for pred, (n, s, o) in exact.items():
+        an, asbj, aobj = approx[pred]
+        assert an == n  # plain count is never approximated
+        # 5 sigma of the configured rsd — loose enough to be stable,
+        # tight enough that a broken sketch (e.g. constant) fails
+        assert abs(asbj - s) <= max(2, 0.10 * s), (pred, s, asbj)
+        assert abs(aobj - o) <= max(2, 0.10 * o), (pred, o, aobj)

@@ -444,3 +444,36 @@ def stats_tables(parsed: DataFrame) -> dict[str, DataFrame]:
         ),
         "diag": parsed.filter(F.col("ent_diag").isNotNull()).groupBy("ent_diag").count(),
     }
+
+
+def predicate_stats(
+    triples: DataFrame, exact: bool = False, rsd: float = 0.02
+) -> DataFrame:
+    """Per-predicate table statistics → (pred, n_triples, n_subj,
+    n_obj) — the planner-facing cardinality report for the
+    pred-partitioned triples layout (which partition is a mega-relation,
+    which predicate is functional (n_subj == n_triples), how selective a
+    constant-object probe is).  The reference keeps exactly this per-
+    property bookkeeping in its cardinality-adaptive index decision
+    (cntprops.pl:16,68-77: list vs bitmap at use_cnt); this emits the
+    whole report in ONE aggregate pass.
+
+    ``exact=False`` (the 100 TB default): distinct counts via
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``) —
+    the sketch merges map-side, so the pass is one partial-aggregated
+    shuffle of sketch buffers, never a per-(pred, subj) expansion.
+    ``exact=True``: real COUNT(DISTINCT) — two expand-aggregates, the
+    small-scale oracle path (a12)."""
+    if exact:
+        agg = [
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subj"),
+            F.countDistinct("obj").cast("long").alias("n_obj"),
+        ]
+    else:
+        agg = [
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.approx_count_distinct("subj", rsd).cast("long").alias("n_subj"),
+            F.approx_count_distinct("obj", rsd).cast("long").alias("n_obj"),
+        ]
+    return triples.groupBy("pred").agg(*agg)

@@ -1563,3 +1563,29 @@ def _q_g5(spark, sf_dir):
     )
     aug = tr.select("subj", "pred", "obj").unionByName(closing)
     return clustering_coefficients(aug)
+
+
+@q(
+    "a12_predicate_stats",
+    f"""
+    SELECT pred,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+    FROM {_gp('triples')}
+    GROUP BY pred
+    """,
+    driver=False,
+)
+def _q_a12(spark, sf_dir):
+    """Per-predicate table statistics
+    (operators/triples.predicate_stats, exact path) — the planner-
+    facing cardinality report behind the reference's list-vs-bitmap
+    index decision (cntprops.pl:16,68-77).  The production path is the
+    HLL++ sketch (exact=False), pytest-bounded against this exact
+    form."""
+    from .operators.triples import extract_triples, predicate_stats
+
+    return predicate_stats(
+        extract_triples(_kg_parsed(spark, sf_dir)), exact=True
+    )
