@@ -416,3 +416,48 @@ def test_clustering_coefficients_golden(spark, triple_rows):
         for n, d in deg.items()
     }
     assert got == want
+
+
+def test_personalized_pagerank_matches_power_iteration(spark, edges_df):
+    from wikidata_dump_processor_spark.operators.graph import pagerank
+
+    edges = edges_df
+    rows = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    seeds = sorted({s for s, _ in rows})[:2]
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            edges, alpha=0.85, max_iter=30, tol=None, reset=seeds
+        ).collect()
+    }
+
+    # independent Python PPR power iteration
+    nodes = sorted({n for e in rows for n in e})
+    out_adj: dict = {}
+    for s, d in rows:
+        out_adj.setdefault(s, []).append(d)
+    r0 = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    rank = dict(r0)
+    for _ in range(30):
+        dangling = sum(v for n, v in rank.items() if n not in out_adj)
+        nxt = {n: 0.0 for n in nodes}
+        for s, outs in out_adj.items():
+            w = rank[s] / len(outs)
+            for d in outs:
+                nxt[d] += w
+        rank = {
+            n: 0.15 * r0[n] + 0.85 * (nxt[n] + dangling * r0[n])
+            for n in nodes
+        }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-9, n
+    # mass conservation + personalization: non-seed-unreachable nodes
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_zero_mass_raises(spark, edges_df):
+    from wikidata_dump_processor_spark.operators.graph import pagerank
+
+    with pytest.raises(ValueError, match="zero mass"):
+        pagerank(edges_df, reset=["Q_not_in_graph"], max_iter=1, tol=None)

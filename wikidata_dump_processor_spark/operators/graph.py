@@ -177,6 +177,7 @@ def pagerank(
     max_iter: int = 20,
     tol: float | None = 1e-6,
     checkpoint: bool = True,
+    reset: DataFrame | list[str] | None = None,
 ) -> DataFrame:
     """PageRank over an (src, dst) edge DataFrame → (id, rank), ranks
     summing to 1.  Standard damped power iteration with explicit
@@ -197,6 +198,15 @@ def pagerank(
     * ``tol`` adds one L1-delta aggregate per iteration; pass
       ``tol=None`` for fixed-step (skips that job entirely — at 100 TB
       a fixed 10-20 steps is the usual choice).
+
+    ``reset`` personalizes the walk (PPR, the entity-relatedness form:
+    "how related is everything to THESE seeds"): a list of ids (uniform
+    teleport over them) or an (id, weight) DataFrame.  Teleport AND
+    dangling mass then return to the reset distribution instead of
+    1/n — the standard personalized formulation (Jeh & Widom 2003;
+    weights are normalized over the nodes actually present in the
+    graph, so no mass leaks to unknown ids).  Plan shape is unchanged:
+    the reset column joins into the static ``base`` table once.
     """
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -215,10 +225,29 @@ def pagerank(
         F.count("*").alias("out_deg")
     )
     # (id, out_deg NULL for dangling) — static across iterations
-    base = nodes.join(out_deg, "id", "left").cache()
+    base = nodes.join(out_deg, "id", "left")
+    if reset is not None:
+        if isinstance(reset, DataFrame):
+            r_df = reset.toDF("id", "_w")
+        else:
+            r_df = spark.createDataFrame(
+                [(x, 1.0) for x in set(reset)], "id string, _w double"
+            )
+        base = base.join(r_df, "id", "left").withColumn(
+            "_w", F.coalesce("_w", F.lit(0.0))
+        )
+        total_w = base.agg(F.sum("_w")).first()[0] or 0.0
+        if total_w <= 0:
+            raise ValueError(
+                "reset distribution has zero mass on the graph's nodes"
+            )
+        base = base.withColumn("_r", F.col("_w") / F.lit(total_w)).drop("_w")
+    else:
+        base = base.withColumn("_r", F.lit(1.0 / n))
+    base = base.cache()
     base.count()
 
-    ranks = base.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = base.select("id", F.col("_r").alias("rank"))
     for _i in range(max_iter):
         r = base.join(ranks, "id")
         dangling = (
@@ -238,14 +267,17 @@ def pagerank(
             .agg(F.sum("w").alias("contrib"))
         )
         new_ranks = (
-            base.select("id")
+            base.select("id", "_r")
             .join(contrib, "id", "left")
             .select(
                 "id",
                 (
-                    F.lit((1.0 - alpha) / n)
+                    F.lit(1.0 - alpha) * F.col("_r")
                     + F.lit(alpha)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling) * F.col("_r")
+                    )
                 ).alias("rank"),
             )
         )
