@@ -147,3 +147,41 @@ def test_url_subject_serializes_as_own_iri(spark):
         ("Q2", "P31", "Q5"),
         ("https://en.example.org/wiki/Page%201", "Pmention", "Q1"),
     ]
+
+
+def test_reader_parses_foreign_ntriples_surface(spark):
+    # real-world dumps carry blank nodes, language tags, and typed
+    # literals — the reader must parse them, not drop the lines
+    lines = spark.createDataFrame(
+        [
+            ('_:b0 <http://example.org/p> "hi" .',),
+            (f'<{ENTITY_IRI}Q1> <{PROP_DIRECT_IRI}P1476> "hallo"@de .',),
+            (
+                f'<{ENTITY_IRI}Q1> <{PROP_DIRECT_IRI}P1082> '
+                '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+            ),
+            (f'<{ENTITY_IRI}Q1> <{PROP_DIRECT_IRI}P31> _:b9 .',),
+            ("# a comment line",),
+            ("   ",),
+        ],
+        "line string",
+    )
+    got = sorted(
+        (r.subj, r.pred, r.obj) for r in read_ntriples(lines).collect()
+    )
+    assert got == [
+        ("Q1", "P1082", "5"),
+        ("Q1", "P1476", "hallo"),
+        ("Q1", "P31", "_:b9"),
+        ("_:b0", "http://example.org/p", "hi"),
+    ]
+    meta = {
+        (r.subj, r.pred, r.obj): (r.lang, r.datatype)
+        for r in read_ntriples(lines, with_meta=True).collect()
+    }
+    assert meta[("Q1", "P1476", "hallo")] == ("de", None)
+    assert meta[("Q1", "P1082", "5")] == (
+        None,
+        "http://www.w3.org/2001/XMLSchema#integer",
+    )
+    assert meta[("_:b0", "http://example.org/p", "hi")] == (None, None)

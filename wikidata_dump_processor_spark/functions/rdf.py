@@ -152,13 +152,22 @@ def write_ntriples(
     w.text(path)
 
 
-# term grammar for the reader: IRI <...> | quoted literal (ECHAR-aware:
-# a literal ends at the first quote NOT preceded by an odd backslash
-# run — "([^"\\]|\\.)*" handles that exactly)
+# term grammar for the reader — the full W3C N-Triples surface, not
+# just what OUR writer emits, so foreign dumps (e.g. Wikidata's own
+# RDF exports) parse too:
+#   subject    IRI <...> | blank node _:label
+#   predicate  IRI <...>
+#   object     IRI | blank node | literal, where a literal is
+#              "..." (ECHAR-aware: ends at the first quote not escaped,
+#              "([^"\\]|\\.)*" handles odd backslash runs exactly)
+#              optionally tagged @lang or typed ^^<datatype-iri>
 _LINE_RE = (
-    r"^<([^>]*)>\s+<([^>]*)>\s+"
-    r"(?:<([^>]*)>|\"((?:[^\"\\]|\\.)*)\")\s*\.\s*$"
+    r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
+    r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\""
+    r"(?:@([A-Za-z][A-Za-z0-9\-]*)|\^\^<([^>]*)>)?)\s*\.\s*$"
 )
+# capture groups: 1 subj-iri, 2 subj-bnode, 3 pred-iri,
+#                 4 obj-iri, 5 obj-bnode, 6 obj-literal, 7 lang, 8 dtype
 
 
 def read_ntriples(
@@ -166,12 +175,19 @@ def read_ntriples(
     path: str | None = None,
     entity_iri: str = ENTITY_IRI,
     prop_iri: str = PROP_DIRECT_IRI,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Parse N-Triples text back to (subj, pred, obj) — the IRI
-    prefixes are stripped back to bare ids; literal objects unescape.
-    Accepts (spark, path) or a 1-column DataFrame of lines.  Malformed
-    lines are dropped (regexp mismatch → empty capture), never fatal —
-    the per-row-error rule every 100 TB reader here follows."""
+    prefixes are stripped back to bare ids; literal objects unescape;
+    blank nodes keep their ``_:label`` spelling.  Language tags and
+    literal datatypes (``"x"@en`` / ``"1"^^<xsd:int>``) parse rather
+    than reject the line; by default they are dropped from ``obj`` (our
+    triples model is untyped strings), with ``with_meta=True`` they
+    surface as extra ``lang`` / ``datatype`` columns.  Accepts (spark,
+    path) or a 1-column DataFrame of lines.  Malformed lines are
+    dropped (regexp mismatch), never fatal — the per-row-error rule
+    every 100 TB reader here follows; comment lines (``# ...``) and
+    blank lines fall out the same way."""
     if path is not None:
         lines = spark_or_df.read.text(path).withColumnRenamed("value", "line")
     else:
@@ -179,22 +195,29 @@ def read_ntriples(
     c = F.col("line")
     m = lambda i: F.regexp_extract(c, _LINE_RE, i)  # noqa: E731
     parsed = lines.select(
-        m(1).alias("_s"), m(2).alias("_p"), m(3).alias("_oi"),
-        m(4).alias("_ol"),
+        m(1).alias("_si"), m(2).alias("_sb"), m(3).alias("_p"),
+        m(4).alias("_oi"), m(5).alias("_ob"), m(6).alias("_ol"),
+        m(7).alias("_lang"), m(8).alias("_dtype"),
         c.rlike(_LINE_RE).alias("_ok"),
-        # an IRI object participates in capture 3 (our ids are never
-        # empty IRIs, so non-empty == IRI branch; the literal branch
-        # leaves it ""); the empty literal "" also lands correctly in
-        # the otherwise() arm below
-        (m(3) != "").alias("_obj_is_iri"),
+        # non-participating groups extract as "": our ids/bnodes are
+        # never empty, so non-empty selects the branch; the empty
+        # literal "" correctly falls through to the literal arm
+        (m(4) != "").alias("_obj_is_iri"),
+        (m(5) != "").alias("_obj_is_bnode"),
     ).filter(F.col("_ok"))
     strip = lambda col, pref: F.when(  # noqa: E731
         col.startswith(pref), F.substring(col, len(pref) + 1, 1 << 20)
     ).otherwise(col)
-    return parsed.select(
-        strip(F.col("_s"), entity_iri).alias("subj"),
+    out = parsed.select(
+        F.when(F.col("_sb") != "", F.col("_sb"))
+        .otherwise(strip(F.col("_si"), entity_iri))
+        .alias("subj"),
         strip(F.col("_p"), prop_iri).alias("pred"),
-        F.when(
-            F.col("_obj_is_iri"), strip(F.col("_oi"), entity_iri)
-        ).otherwise(_unescape_literal(F.col("_ol"))).alias("obj"),
+        F.when(F.col("_obj_is_iri"), strip(F.col("_oi"), entity_iri))
+        .when(F.col("_obj_is_bnode"), F.col("_ob"))
+        .otherwise(_unescape_literal(F.col("_ol")))
+        .alias("obj"),
+        F.when(F.col("_lang") != "", F.col("_lang")).alias("lang"),
+        F.when(F.col("_dtype") != "", F.col("_dtype")).alias("datatype"),
     )
+    return out if with_meta else out.select("subj", "pred", "obj")
