@@ -79,8 +79,10 @@ def _query_main(argv: list[str]) -> int:
     p.add_argument("--bag", action="store_true",
                    help="keep duplicate bindings (default: distinct)")
     p.add_argument("--table", default="canonical_triples",
-                   choices=["canonical_triples", "triples"],
-                   help="which triples snapshot to query")
+                   choices=["canonical_triples", "triples", "rdf_ntriples"],
+                   help="which triples snapshot to query; rdf_ntriples "
+                        "parses the N-Triples export (or any foreign "
+                        ".nt dump placed at OUT_DIR/rdf_ntriples)")
     p.add_argument("--allow-product", action="store_true",
                    help="permit disconnected pattern groups")
     p.add_argument("--json", action="store_true",
@@ -103,7 +105,12 @@ def _query_main(argv: list[str]) -> int:
         "wdp-query", cpus=args.cpus,
         shuffle_partitions=args.shuffle_partitions,
     )
-    triples = spark.read.parquet(os.path.join(args.out, args.table))
+    if args.table == "rdf_ntriples":
+        from .functions.rdf import read_ntriples
+
+        triples = read_ntriples(spark, os.path.join(args.out, args.table))
+    else:
+        triples = spark.read.parquet(os.path.join(args.out, args.table))
     if args.union:
         res = match_union(
             triples, [patterns, *args.union], filters=args.filter,
