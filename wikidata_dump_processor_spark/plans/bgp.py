@@ -35,8 +35,14 @@ FILTER expressions (any Spark SQL boolean over the variables) are
 applied as soon as every variable they mention is bound — pushed inside
 the join tree, not bolted on the end.
 
-No part of this runs driver-side Python per row: the whole query is one
-Catalyst plan of scans + joins, fully codegen'd.
+No part of this runs driver-side Python per row: a path-free query is
+ONE Catalyst plan of scans + joins, fully codegen'd.  Property-path
+patterns (``P279+``/``P279*``) are the exception that proves the rule:
+they need a FIXPOINT, so the planner runs a bounded driver-side loop of
+whole-DataFrame jobs (operators/graph.transitive_closure_*) — each
+iteration is still pure scans + joins, and a path whose endpoint
+variables are already bound walks seeded from the bindings, never the
+predicate's full closure.
 """
 
 from __future__ import annotations
