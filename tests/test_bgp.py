@@ -291,6 +291,56 @@ def test_optional_filter_applies_after_join(triples):
     assert got == {("Q1", "Q90"), ("Q3", "Q90"), ("Q90", None), ("Q64", None)}
 
 
+def test_chained_optional_extends_null_rows(triples):
+    """SPARQL compatibility: a variable an earlier OPTIONAL left NULL is
+    compatible with ANY later binding — the second group must extend the
+    NULL-extended rows, not skip them on a never-matching NULL key
+    (ADVICE round-5 finding).
+
+    Required ?x P31 ?c; opt1 binds ?pl for Q1/Q2/Q3 only; opt2 walks
+    ?pl P1082 ?pop.  Q90/Q64 rows have pl=NULL after opt1, so EVERY
+    (pl', pop') binding of opt2 is compatible with them and they fan
+    out with pl bound by opt2 (here: pl=Q90, pop=125000)."""
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        optional=[
+            [("?x", "P19", "?pl")],
+            [("?pl", "P1082", "?pop")],
+        ],
+    )
+    got = {(r["x"], r["c"], r["pl"], r["pop"]) for r in out.collect()}
+    assert got == {
+        ("Q1", "Q5", "Q90", "125000"),
+        ("Q2", "Q5", "Q64", None),       # pl bound, opt2 unmatched: NULL
+        ("Q3", "Q55", "Q90", "125000"),
+        # pl was NULL -> compatible with opt2's only binding (Q90, ...)
+        ("Q90", "Q515", "Q90", "125000"),
+        ("Q64", "Q515", "Q90", "125000"),
+    }
+
+
+def test_chained_optional_mixed_keys_keeps_required_equi(triples):
+    # a group sharing one required-bound var (?x) and one maybe-NULL var
+    # (?pl) must still equi-match on ?x while treating ?pl as compatible
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        optional=[
+            [("?x", "P19", "?pl")],
+            [("?x", "P19", "?pl"), ("?pl", "P1082", "?pop")],
+        ],
+    )
+    got = {(r["x"], r["pl"], r["pop"]) for r in out.collect()}
+    assert got == {
+        ("Q1", "Q90", "125000"),
+        ("Q2", "Q64", None),     # Q64 has no P1082: group unmatched
+        ("Q3", "Q90", "125000"),
+        ("Q90", None, None),     # x=Q90 has no P19: group unmatched
+        ("Q64", None, None),
+    }
+
+
 def test_union_branches(triples):
     from wikidata_dump_processor_spark.plans.bgp import match_union
 

@@ -461,3 +461,69 @@ def test_personalized_pagerank_zero_mass_raises(spark, edges_df):
 
     with pytest.raises(ValueError, match="zero mass"):
         pagerank(edges_df, reset=["Q_not_in_graph"], max_iter=1, tol=None)
+
+
+def test_ppr_duplicate_reset_ids_sum_not_fanout(spark, edges_df):
+    """Duplicate ids in an (id, weight) reset DataFrame must aggregate,
+    not fan out the base join (which would duplicate node rows and skew
+    every rank) — ADVICE round-5 finding."""
+    from wikidata_dump_processor_spark.operators.graph import pagerank
+
+    seed = edges_df.select("src").first()[0]
+    dup = spark.createDataFrame(
+        [(seed, 1.0), (seed, 1.0)], "id string, w double"
+    )
+    once = spark.createDataFrame([(seed, 2.0)], "id string, w double")
+    got_dup = {
+        r.id: r.rank
+        for r in pagerank(edges_df, max_iter=8, tol=None, reset=dup).collect()
+    }
+    got_once = {
+        r.id: r.rank
+        for r in pagerank(edges_df, max_iter=8, tol=None, reset=once).collect()
+    }
+    n_nodes = (
+        edges_df.selectExpr("src as id")
+        .union(edges_df.selectExpr("dst as id"))
+        .distinct()
+        .count()
+    )
+    assert len(got_dup) == n_nodes  # no fan-out duplication
+    assert got_dup == got_once  # 1.0+1.0 for one id == 2.0 once
+    assert abs(sum(got_dup.values()) - 1.0) < 1e-9
+
+
+def test_ppr_negative_reset_weight_raises(spark, edges_df):
+    from wikidata_dump_processor_spark.operators.graph import pagerank
+
+    seed = edges_df.select("src").first()[0]
+    bad = spark.createDataFrame(
+        [(seed, 2.0), (seed, -0.5)], "id string, w double"
+    )
+    # net-positive per id but a negative component elsewhere must raise
+    other = edges_df.select("dst").first()[0]
+    bad2 = spark.createDataFrame(
+        [(seed, 1.0), (other, -0.25)], "id string, w double"
+    )
+    with pytest.raises(ValueError, match="negative reset weight"):
+        pagerank(edges_df, max_iter=1, tol=None, reset=bad2)
+    # duplicate-summed net weight is what is validated, not raw rows
+    got = pagerank(edges_df, max_iter=1, tol=None, reset=bad)
+    assert abs(got.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
+
+def test_pagerank_tol_every_matches_every_iteration_result(spark, edges_df):
+    """tol_every amortizes the convergence job without changing the
+    fixed-step numerics (checks fire on multiples of k only)."""
+    a = {
+        r.id: r.rank
+        for r in pagerank(edges_df, max_iter=12, tol=1e-12).collect()
+    }
+    b = {
+        r.id: r.rank
+        for r in pagerank(
+            edges_df, max_iter=12, tol=1e-12, tol_every=5
+        ).collect()
+    }
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k

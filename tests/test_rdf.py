@@ -28,7 +28,18 @@ ADVERSARIAL = [
     ("L10", "P5185", "Q999"),                  # lexeme subj, entity obj
     ("Q11", "P625", '{"latitude":1.5,"longitude":2.5}'),
     ("Q12", "P1476", None),                    # NULL -> dropped
+    ("Q13", "P856", "https://example.org/home"),  # URL object -> IRI
 ]
+
+
+def _py_iri_safe(s):
+    """Independent mirror of the IRIREF-illegal percent-encode."""
+    return "".join(
+        "%%%02X" % ord(c)
+        if (ord(c) <= 0x20 or ord(c) == 0x7F or c in '<>"{}|^`\\')
+        else c
+        for c in s
+    )
 
 
 def _py_line(s, p, o):
@@ -37,6 +48,8 @@ def _py_line(s, p, o):
         return None
     if re.fullmatch(r"[QPL]\d+", o):
         ot = f"<{ENTITY_IRI}{o}>"
+    elif re.match(r"[A-Za-z][A-Za-z0-9+.\-]*://", o):
+        ot = f"<{_py_iri_safe(o)}>"
     else:
         esc = (
             o.replace("\\", "\\\\")
@@ -147,6 +160,73 @@ def test_url_subject_serializes_as_own_iri(spark):
         ("Q2", "P31", "Q5"),
         ("https://en.example.org/wiki/Page%201", "Pmention", "Q1"),
     ]
+
+
+def test_iri_safe_encodes_full_irireF_illegal_class(spark):
+    # N-Triples IRIREF forbids control chars and < > " { } | ^ ` \ —
+    # a URL term carrying any of them must emit %XX, or strict loaders
+    # reject the line (ADVICE round-5 finding)
+    df = spark.createDataFrame(
+        [("https://ex.org/a b{c}|d^e`f\\g\x01h", "Pm", "Q1")],
+        "subj string, pred string, obj string",
+    )
+    (line,) = [r.line for r in to_ntriples(df).collect()]
+    assert line.startswith(
+        "<https://ex.org/a%20b%7Bc%7D%7Cd%5Ee%60f%5Cg%01h> "
+    )
+    assert _py_line("Q9", "P1476", "tab\tkept unicode héllo")  # oracle sane
+
+
+def test_url_objects_serialize_as_iris(spark):
+    # absolute-IRI objects get the same IRI branch subjects do — RDF
+    # consumers must not see page URLs typed as strings (ADVICE round-5)
+    df = spark.createDataFrame(
+        [
+            ("Q1", "P856", "https://example.org/home"),
+            ("Q2", "P856", "https://ex.org/with space"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = sorted(r.line for r in to_ntriples(df).collect())
+    assert lines == [
+        f"<{ENTITY_IRI}Q1> <{PROP_DIRECT_IRI}P856> "
+        "<https://example.org/home> .",
+        f"<{ENTITY_IRI}Q2> <{PROP_DIRECT_IRI}P856> "
+        "<https://ex.org/with%20space> .",
+    ]
+    back = read_ntriples(to_ntriples(df))
+    got = sorted((r.subj, r.pred, r.obj) for r in back.collect())
+    assert got == [
+        ("Q1", "P856", "https://example.org/home"),
+        ("Q2", "P856", "https://ex.org/with%20space"),  # %-enc is one-way
+    ]
+
+
+def test_reader_unescapes_full_echar_and_uchar(spark):
+    # spec-legal escapes a FOREIGN dump may carry: the full ECHAR set
+    # (tbnrf"') and \uXXXX / \UXXXXXXXX codepoints (ADVICE round-5:
+    # these used to pass through as raw backslash text — silent
+    # corruption)
+    P = f"<{ENTITY_IRI}Q1> <{PROP_DIRECT_IRI}P1476> "
+    cases = [
+        (P + '"tab\\there" .', "tab\there"),
+        (P + '"bell\\b\\f\\\'quote" .', "bell\b\f'quote"),
+        (P + '"caf\\u00E9" .', "café"),
+        (P + '"astral \\U0001F600!" .', "astral 😀!"),
+        (P + '"pair \\uD83D\\uDE00!" .', "pair 😀!"),  # UTF-16 pair form
+        # NOT decodable: lone surrogate / malformed digits / out of range
+        # pass through verbatim instead of corrupting
+        (P + '"lone\\uD800kept" .', "lone\\uD800kept"),
+        (P + '"bad\\uZZZZkept" .', "bad\\uZZZZkept"),
+        (P + '"big\\U00110000kept" .', "big\\U00110000kept"),
+        # escaped backslash shields the u: literal backslash + "u0041"
+        (P + '"mix\\\\u0041" .', "mix\\u0041"),
+        # \ decodes to a backslash; the following n stays a letter
+        (P + '"esc\\u005Cnot" .', "esc\\not"),
+    ]
+    lines = spark.createDataFrame([(c[0],) for c in cases], "line string")
+    got = {r.obj for r in read_ntriples(lines).collect()}
+    assert got == {c[1] for c in cases}
 
 
 def test_reader_parses_foreign_ntriples_surface(spark):

@@ -8,19 +8,26 @@ obj) rows onto Wikidata's public IRI scheme (entity ids under
 ``http://www.wikidata.org/entity/``, direct-claim properties under
 ``http://www.wikidata.org/prop/direct/`` — the layout Wikidata's own
 RDF dumps use) and serializes entirely with JVM expressions: IRI wrap
-via concat, literal escaping via four literal ``replace`` passes (the
-N-Triples ECHAR set: ``\\ " \n \r`` — backslash FIRST, or the escapes
-it introduces would be re-escaped).  No Python node, no shuffle: the
-writer is a narrow map over however the triples are already
-partitioned, so a 100 TB export parallelizes like the scan itself.
+via concat, literal escaping via literal ``replace`` passes (the
+canonical N-Triples ECHAR output set: ``\\ " \n \r`` — backslash FIRST,
+or the escapes it introduces would be re-escaped).  No Python node, no
+shuffle: the writer is a narrow map over however the triples are
+already partitioned, so a 100 TB export parallelizes like the scan
+itself.
 
-Subjects that are not entity ids but absolute IRIs of their own — the
-mention triples' page-URL subjects — serialize verbatim as IRIs (with
-IRI-unsafe characters percent-encoded), never glued onto the entity
-prefix.
+Subjects AND objects that are not entity ids but absolute IRIs of
+their own — the mention triples' page-URL subjects, URL-valued
+objects — serialize verbatim as IRIs (with the full IRIREF-illegal
+character class percent-encoded), never glued onto the entity prefix
+and never mistyped as string literals.
 
 ``read_ntriples`` is the inverse (regexp term split + unescape chain),
-giving a byte-exact round-trip — tested write→read == input.
+giving a byte-exact round-trip — tested write→read == input.  The
+reader accepts the full W3C escape surface foreign dumps may carry
+(ECHAR ``tbnrf"'`` + UCHAR ``\\uXXXX``/``\\UXXXXXXXX`` incl. UTF-16
+surrogate pairs), beyond what our canonical writer emits; undecodable
+escapes (lone surrogates, malformed digits, > U+10FFFF) pass through
+verbatim rather than corrupting the literal.
 
 Lines with a NULL term are dropped (count them upstream via the stats
 tables if lineage matters): N-Triples has no NULL, and a partial line
@@ -41,15 +48,33 @@ _ENTITY_RE = r"^[QPL]\d+$"
 _ABS_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
+# the full IRIREF-illegal class (N-Triples grammar: IRIREF excludes
+# control chars and  < > " { } | ^ ` \  and space) — all ASCII, so a
+# per-char ``%XX`` from the codepoint is the correct percent-encoding
+_IRI_ILLEGAL_RE = r'[\x00-\x20<>"{}|^`\\\x7f]'
+
+
 def _iri_safe(c: Column) -> Column:
-    """Percent-encode the characters that would corrupt an N-Triples
-    IRI term (space, angle brackets, quote).  One-way by design: the
-    reader keeps IRI content verbatim, it does not percent-decode."""
-    c = F.replace(c, F.lit(" "), F.lit("%20"))
-    c = F.replace(c, F.lit("<"), F.lit("%3C"))
-    c = F.replace(c, F.lit(">"), F.lit("%3E"))
-    c = F.replace(c, F.lit('"'), F.lit("%22"))
-    return c
+    """Percent-encode every character the N-Triples IRIREF grammar
+    forbids (space, angle brackets, quote, ``{ } | ^ ` \\`` and control
+    chars) so strict loaders accept the line.  One-way by design: the
+    reader keeps IRI content verbatim, it does not percent-decode.
+
+    Plan shape: the common case (no illegal char) is a single ``rlike``
+    gate returning the column untouched; only offending rows take the
+    per-char split+transform encode — still pure JVM codegen, no Python.
+    """
+    enc = F.array_join(
+        F.transform(
+            F.split(c, ""),
+            lambda ch: F.when(
+                ch.rlike(_IRI_ILLEGAL_RE),
+                F.concat(F.lit("%"), F.lpad(F.hex(F.ascii(ch)), 2, "0")),
+            ).otherwise(ch),
+        ),
+        "",
+    )
+    return F.when(c.rlike(_IRI_ILLEGAL_RE), enc).otherwise(c)
 
 
 def _node_term(c: Column, entity_iri: str) -> Column:
@@ -79,22 +104,95 @@ def _escape_literal(c: Column) -> Column:
     return c
 
 
+# split a segment immediately BEFORE every \uXXXX / \UXXXXXXXX escape,
+# except between a high-surrogate escape and its low-surrogate partner
+# (bounded lookbehind keeps the pair in one segment so it decodes as one
+# astral codepoint — foreign dumps that spell astral chars as UTF-16
+# pairs are spec-dubious but real)
+_UCHAR_SPLIT = r"(?<!\\u[Dd][89ABab][0-9A-Fa-f]{2})(?=\\[uU])"
+_PAIR_RE = (
+    r"^\\u[Dd][89ABab][0-9A-Fa-f]{2}\\u[Dd][C-Fc-f][0-9A-Fa-f]{2}"
+)
+# lone \uXXXX, guarded against surrogate-range codepoints (a lone
+# surrogate is not a Unicode scalar value — left verbatim)
+_U4_RE = r"^\\u(?![Dd][89A-Fa-f])[0-9A-Fa-f]{4}"
+# \UXXXXXXXX up to U+10FFFF
+_U8_RE = r"^\\U(000[0-9A-Fa-f]{5}|0010[0-9A-Fa-f]{4})"
+
+
+def _chr(cp: Column) -> Column:
+    """Codepoint (int column) → its character: 4-byte big-endian hex →
+    unhex → UTF-32BE decode.  Pure JVM."""
+    return F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
+
+
+def _decode_uchar(s: Column) -> Column:
+    """Decode W3C UCHAR escapes (``\\uXXXX`` / ``\\UXXXXXXXX``) in a
+    segment known to contain no escaped backslash.  Malformed escapes
+    (wrong digit count, lone surrogates, > U+10FFFF) pass through
+    verbatim rather than corrupting the line."""
+    parts = F.split(s, _UCHAR_SPLIT)
+
+    def dec(p: Column) -> Column:
+        hx = lambda pos, n: F.conv(  # noqa: E731
+            F.substring(p, pos, n), 16, 10
+        ).cast("long")
+        pair_cp = (
+            (hx(3, 4) - F.lit(0xD800)) * F.lit(0x400)
+            + (hx(9, 4) - F.lit(0xDC00))
+            + F.lit(0x10000)
+        )
+        return (
+            F.when(
+                p.rlike(_PAIR_RE),
+                F.concat(_chr(pair_cp), F.substring(p, 13, 1 << 20)),
+            )
+            .when(
+                p.rlike(_U8_RE),
+                F.concat(
+                    F.decode(F.unhex(F.substring(p, 3, 8)), "UTF-32"),
+                    F.substring(p, 11, 1 << 20),
+                ),
+            )
+            .when(
+                p.rlike(_U4_RE),
+                F.concat(_chr(hx(3, 4)), F.substring(p, 7, 1 << 20)),
+            )
+            .otherwise(p)
+        )
+
+    return F.when(
+        s.rlike(r"\\[uU]"), F.array_join(F.transform(parts, dec), "")
+    ).otherwise(s)
+
+
 def _unescape_literal(c: Column) -> Column:
     # Sequential replace CANNOT unescape correctly (wire ``\\n`` — an
     # escaped backslash then a literal n — would see its tail rewritten
     # by the ``\n`` pass).  Exact inverse instead: split on DOUBLE
     # backslashes (so segments contain only genuine single-char
-    # escapes), unescape each segment, rejoin with a single backslash.
+    # escapes), unescape each segment — the FULL ECHAR set (tbnrf"')
+    # plus UCHAR codepoint escapes — rejoin with a single backslash.
     segs = F.split(c, r"\\\\")
-    fix = lambda s: F.replace(  # noqa: E731
-        F.replace(
-            F.replace(s, F.lit("\\n"), F.lit("\n")),
-            F.lit("\\r"),
-            F.lit("\r"),
-        ),
-        F.lit('\\"'),
-        F.lit('"'),
-    )
+
+    def fix(s: Column) -> Column:
+        # ECHAR first, UCHAR second: a UCHAR may decode TO a backslash
+        # (``\\u005C`` then ``n`` is backslash + n, not newline), so the
+        # two-char ECHAR replaces must never see UCHAR output; no ECHAR
+        # result is a backslash, so the reverse interference is
+        # impossible (and ECHAR escapes can't overlap ``\\uXXXX`` text).
+        for esc, ch in (
+            ("\\n", "\n"),
+            ("\\r", "\r"),
+            ("\\t", "\t"),
+            ("\\b", "\b"),
+            ("\\f", "\f"),
+            ('\\"', '"'),
+            ("\\'", "'"),
+        ):
+            s = F.replace(s, F.lit(esc), F.lit(ch))
+        return _decode_uchar(s)
+
     return F.array_join(F.transform(segs, fix), "\\")
 
 
@@ -106,11 +204,20 @@ def ntriples_line(
     prop_iri: str = PROP_DIRECT_IRI,
 ) -> Column:
     """One N-Triples line; entity-shaped objects (``^[QPL]\\d+$``)
-    become IRIs, everything else a quoted escaped literal."""
-    obj_term = F.when(
-        obj.rlike(_ENTITY_RE),
-        F.concat(F.lit("<" + entity_iri), obj, F.lit(">")),
-    ).otherwise(F.concat(F.lit('"'), _escape_literal(obj), F.lit('"')))
+    become IRIs, absolute-IRI objects (page URLs — e.g. sitelink /
+    mention targets) serialize as IRIs exactly like subjects do, and
+    everything else is a quoted escaped literal."""
+    obj_term = (
+        F.when(
+            obj.rlike(_ENTITY_RE),
+            F.concat(F.lit("<" + entity_iri), obj, F.lit(">")),
+        )
+        .when(
+            obj.rlike(_ABS_IRI_RE),
+            F.concat(F.lit("<"), _iri_safe(obj), F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), _escape_literal(obj), F.lit('"')))
+    )
     return F.concat(
         _node_term(subj, entity_iri), F.lit(" "),
         F.lit("<" + prop_iri), _iri_safe(pred), F.lit("> "),

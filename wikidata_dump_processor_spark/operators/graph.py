@@ -178,6 +178,7 @@ def pagerank(
     tol: float | None = 1e-6,
     checkpoint: bool = True,
     reset: DataFrame | list[str] | None = None,
+    tol_every: int = 1,
 ) -> DataFrame:
     """PageRank over an (src, dst) edge DataFrame → (id, rank), ranks
     summing to 1.  Standard damped power iteration with explicit
@@ -189,15 +190,20 @@ def pagerank(
       edges⋈ranks join reuses the ranks-side hash partitioning on
       ``id`` established below (edges are repartitioned ONCE on src and
       cached, so Exchange reuse keeps the join co-located);
-    * the dangling mass is a single scalar aggregate per iteration (two
-      driver-side floats, never a row collect);
+    * the dangling mass is folded INTO the iteration plan as a 1-row
+      scalar aggregate cross-joined (broadcast) onto the rank update —
+      no per-iteration driver job for it, the iteration body submits
+      ONE job (at 100 TB × 20 iterations the old per-iteration
+      ``.first()`` was ~20 extra job submissions of pure latency);
     * lineage is truncated per iteration with ``localCheckpoint`` —
       without it the plan doubles per iteration and the driver dies
       compiling iteration 15 (the CC loop learned the same lesson,
       operators/canonicalize.py);
-    * ``tol`` adds one L1-delta aggregate per iteration; pass
+    * ``tol`` adds one L1-delta aggregate every ``tol_every``-th
+      iteration (the only remaining driver scalar in the loop); pass
       ``tol=None`` for fixed-step (skips that job entirely — at 100 TB
-      a fixed 10-20 steps is the usual choice).
+      a fixed 10-20 steps is the usual choice), or ``tol_every=5`` to
+      amortize the check.
 
     ``reset`` personalizes the walk (PPR, the entity-relatedness form:
     "how related is everything to THESE seeds"): a list of ids (uniform
@@ -205,8 +211,11 @@ def pagerank(
     dangling mass then return to the reset distribution instead of
     1/n — the standard personalized formulation (Jeh & Widom 2003;
     weights are normalized over the nodes actually present in the
-    graph, so no mass leaks to unknown ids).  Plan shape is unchanged:
-    the reset column joins into the static ``base`` table once.
+    graph, so no mass leaks to unknown ids).  Duplicate ids in a reset
+    DataFrame are summed BEFORE the join into ``base`` (a duplicate key
+    would otherwise fan out the join and silently duplicate node rows);
+    negative weights raise.  Plan shape is unchanged: the reset column
+    joins into the static ``base`` table once.
     """
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -228,7 +237,14 @@ def pagerank(
     base = nodes.join(out_deg, "id", "left")
     if reset is not None:
         if isinstance(reset, DataFrame):
-            r_df = reset.toDF("id", "_w")
+            # sum duplicate ids BEFORE joining: a duplicate reset key
+            # would fan the left join out and duplicate node rows
+            r_df = (
+                reset.toDF("id", "_w")
+                .withColumn("_w", F.col("_w").cast("double"))
+                .groupBy("id")
+                .agg(F.sum("_w").alias("_w"))
+            )
         else:
             r_df = spark.createDataFrame(
                 [(x, 1.0) for x in set(reset)], "id string, _w double"
@@ -236,7 +252,13 @@ def pagerank(
         base = base.join(r_df, "id", "left").withColumn(
             "_w", F.coalesce("_w", F.lit(0.0))
         )
-        total_w = base.agg(F.sum("_w")).first()[0] or 0.0
+        total_w, min_w = base.agg(F.sum("_w"), F.min("_w")).first()
+        if min_w is not None and min_w < 0:
+            raise ValueError(
+                f"negative reset weight ({min_w}) — a teleport "
+                "distribution needs non-negative mass"
+            )
+        total_w = total_w or 0.0
         if total_w <= 0:
             raise ValueError(
                 "reset distribution has zero mass on the graph's nodes"
@@ -250,10 +272,11 @@ def pagerank(
     ranks = base.select("id", F.col("_r").alias("rank"))
     for _i in range(max_iter):
         r = base.join(ranks, "id")
-        dangling = (
-            r.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass as a 1-row in-plan aggregate, broadcast onto the
+        # rank update (a cross join against one row) — NOT a driver
+        # `.first()`: the iteration body stays a single Spark job
+        dang = r.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contrib = (
             e.join(
@@ -269,6 +292,7 @@ def pagerank(
         new_ranks = (
             base.select("id", "_r")
             .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
@@ -276,14 +300,14 @@ def pagerank(
                     + F.lit(alpha)
                     * (
                         F.coalesce("contrib", F.lit(0.0))
-                        + F.lit(dangling) * F.col("_r")
+                        + F.col("_dangling") * F.col("_r")
                     )
                 ).alias("rank"),
             )
         )
         if checkpoint:
             new_ranks = new_ranks.localCheckpoint(eager=False)
-        if tol is not None:
+        if tol is not None and (_i + 1) % max(1, tol_every) == 0:
             delta = (
                 new_ranks.join(
                     ranks.select("id", F.col("rank").alias("prev")), "id"

@@ -292,14 +292,20 @@ def match_patterns(
     NULL bindings exactly as a SQL self-join would.
 
     ``optional`` is a list of pattern groups (each a list of 3-term
-    tuples or a ``parse_bgp`` string) LEFT-joined to the required block
-    on their shared variables — SPARQL's OPTIONAL: bindings survive with
-    NULLs where the group does not match.  Each group must share at
-    least one variable with the required block.  A filter naming an
-    optional variable is applied AFTER that group's left join (SQL
-    WHERE-over-LEFT-JOIN semantics: it drops NULL-extended rows unless
-    it handles NULL itself — SPARQL's filter-inside-OPTIONAL is not
-    reproduced).
+    tuples or a ``parse_bgp`` string) LEFT-joined to the running
+    bindings on their shared variables — SPARQL's OPTIONAL: bindings
+    survive with NULLs where the group does not match.  Each group must
+    share at least one variable with the previously bound block.
+    Chained groups follow SPARQL's compatibility rule: a shared
+    variable an earlier OPTIONAL left unbound (NULL) is compatible with
+    any binding, so later groups CAN extend NULL-extended rows (the
+    join key becomes ``IS NULL OR =`` with a post-join coalesce; a
+    group whose shared variables are ALL maybe-NULL plans a nested-loop
+    join — correct, but keep one required-bound variable shared for
+    hash joins at scale).  A filter naming an optional variable is
+    applied AFTER that group's left join (SQL WHERE-over-LEFT-JOIN
+    semantics: it drops NULL-extended rows unless it handles NULL
+    itself — SPARQL's filter-inside-OPTIONAL is not reproduced).
     """
     if isinstance(patterns, str):
         patterns = parse_bgp(patterns)
@@ -373,6 +379,18 @@ def match_patterns(
         bound |= _pattern_vars(nxt)
         out = _apply_ready_filters(out)
 
+    req_bound = set(bound)  # variables the required block guarantees
+    # SPARQL LeftJoin compatibility for CHAINED optional groups: a
+    # variable introduced by an earlier OPTIONAL may be NULL (unbound),
+    # and an unbound variable is compatible with ANY binding — a plain
+    # equi-join key would silently never extend those rows (Spark NULL
+    # equality never matches).  Join on the required-bound variables as
+    # normal hash keys and turn each maybe-NULL shared variable into an
+    # `IS NULL OR =` condition + post-join coalesce.  Plan note: if a
+    # group shares ONLY maybe-NULL variables there is no equi key left
+    # and Spark plans a (broadcast) nested-loop join — correct but worth
+    # avoiding in query design at scale.
+    maybe_null: set[str] = set()
     for group in opt_groups:
         gvars = set()
         for p in group:
@@ -386,8 +404,27 @@ def match_patterns(
         rhs = match_patterns(
             triples, group, distinct=False, allow_product=allow_product
         )
-        out = out.join(rhs, on=shared, how="left")
+        cond_keys = [v for v in shared if v in maybe_null]
+        if not cond_keys:
+            out = out.join(rhs, on=shared, how="left")
+        else:
+            ren = {v: f"__opt_{v}" for v in shared}
+            rhs2 = rhs.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in rhs.columns]
+            )
+            cond = None
+            for v in shared:
+                c = out[v] == rhs2[ren[v]]
+                if v in maybe_null:
+                    c = out[v].isNull() | c
+                cond = c if cond is None else cond & c
+            out = out.join(rhs2, cond, "left")
+            for v in shared:
+                out = out.withColumn(
+                    v, F.coalesce(F.col(v), F.col(ren[v]))
+                ).drop(ren[v])
         bound |= gvars
+        maybe_null |= gvars - req_bound
         out = _apply_ready_filters(out)
 
     # every variable is bound once the loops drain, so every filter has

@@ -1362,6 +1362,23 @@ def _q_pp1(spark, sf_dir):
     return pairs.select(F.col("src").alias("x"), F.col("dst").alias("anc"))
 
 
+# DuckDB mirror of functions/rdf._iri_safe: per-char percent-encode of
+# the full N-Triples IRIREF-illegal class (identical char set and %XX
+# casing to the Spark expression — hash-equality is byte-level)
+_IRI_ILLEGAL_SQL = r'[\x00-\x20<>"{}|^`\\\x7f]'
+
+
+def _iri_safe_sql(col: str) -> str:
+    ill = _IRI_ILLEGAL_SQL
+    return (
+        f"CASE WHEN regexp_matches({col}, '{ill}') THEN "
+        f"array_to_string(list_transform(string_split({col}, ''), "
+        f"c -> CASE WHEN regexp_matches(c, '{ill}') THEN "
+        "'%' || lpad(upper(to_hex(ord(c))), 2, '0') ELSE c END), '') "
+        f"ELSE {col} END"
+    )
+
+
 @q(
     "rdf1_ntriples_export",
     f"""
@@ -1369,20 +1386,17 @@ def _q_pp1(spark, sf_dir):
              WHEN regexp_matches(subj, '^[QPL][0-9]+$')
                 THEN '<http://www.wikidata.org/entity/' || subj || '>'
              WHEN regexp_matches(subj, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                THEN '<' || replace(replace(replace(replace(subj,
-                     ' ', '%20'), '<', '%3C'), '>', '%3E'),
-                     chr(34), '%22') || '>'
+                THEN '<' || {_iri_safe_sql('subj')} || '>'
              ELSE '<http://www.wikidata.org/entity/' ||
-                  replace(replace(replace(replace(subj,
-                  ' ', '%20'), '<', '%3C'), '>', '%3E'),
-                  chr(34), '%22') || '>'
+                  {_iri_safe_sql('subj')} || '>'
            END
         || ' <http://www.wikidata.org/prop/direct/' ||
-           replace(replace(replace(replace(pred,
-           ' ', '%20'), '<', '%3C'), '>', '%3E'), chr(34), '%22')
+           {_iri_safe_sql('pred')}
         || '> '
         || CASE WHEN regexp_matches(obj, '^[QPL][0-9]+$')
                 THEN '<http://www.wikidata.org/entity/' || obj || '>'
+                WHEN regexp_matches(obj, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                THEN '<' || {_iri_safe_sql('obj')} || '>'
                 ELSE chr(34) || replace(replace(replace(replace(obj,
                         chr(92), chr(92)||chr(92)), chr(34), chr(92)||chr(34)),
                         chr(10), chr(92)||'n'), chr(13), chr(92)||'r') || chr(34)
