@@ -253,6 +253,163 @@ def test_closure_pairs_gate(path_triples):
 
 
 # ---------------------------------------------------------------------------
+# inverse paths / MINUS / stats-driven join order
+# ---------------------------------------------------------------------------
+
+
+def test_inverse_path_plain(triples):
+    # ?a ^P19 ?b  ==  ?b P19 ?a  (who was born at ?a)
+    out = match_patterns(triples, [("?pl", "^P19", "?x")])
+    got = {(r["pl"], r["x"]) for r in out.collect()}
+    assert got == {("Q90", "Q1"), ("Q64", "Q2"), ("Q90", "Q3")}
+    # constant endpoint on the inverse side
+    out2 = match_patterns(triples, [("Q90", "^P19", "?x")])
+    assert _rows(out2) == [("Q1",), ("Q3",)]
+
+
+def test_inverse_path_with_closure_matches_python_reverse_walk(spark):
+    chain = spark.createDataFrame(
+        [("Q1", "P279", "Q2"), ("Q2", "P279", "Q3"), ("Q3", "P279", "Q4"),
+         ("Q9", "P279", "Q2")],
+        "subj string, pred string, obj string",
+    )
+    # descendants of Q3 via the inverse closure: ?d such that d P279+ Q3
+    out = match_patterns(chain, [("Q3", "^P279+", "?d")])
+    # python oracle: walk reversed edges from Q3
+    rev = {}
+    for s, _p, o in chain.collect():
+        rev.setdefault(o, set()).add(s)
+    want, frontier = set(), {"Q3"}
+    while frontier:
+        nxt = set().union(*(rev.get(f, set()) for f in frontier)) - want
+        want |= nxt
+        frontier = nxt
+    assert {r["d"] for r in out.collect()} == want == {"Q1", "Q2", "Q9"}
+    # ^P279* adds the zero-length binding of the constant itself
+    out2 = match_patterns(chain, [("Q3", "^P279*", "?d")])
+    assert {r["d"] for r in out2.collect()} == want | {"Q3"}
+
+
+def test_inverse_path_invalid_forms(triples):
+    with pytest.raises(ValueError, match="inverse-path"):
+        match_patterns(triples, [("?a", "^?p", "?b")])
+    with pytest.raises(ValueError, match="inverse-path"):
+        match_patterns(triples, [("?a", "^^P31", "?b")])
+
+
+def test_minus_removes_compatible_bindings(triples):
+    # entities with a class, MINUS those that have a birthplace —
+    # the reference's no_P31 report shape inverted
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        minus=[[("?x", "P19", "?pl")]],
+    )
+    got = {(r["c"], r["x"]) for r in out.collect()}
+    assert got == {("Q515", "Q90"), ("Q515", "Q64")}
+    assert out.columns == ["c", "x"]  # minus-internal ?pl not projected
+
+
+def test_minus_requires_shared_variable(triples):
+    with pytest.raises(ValueError, match="MINUS"):
+        match_patterns(
+            triples, [("?x", "P31", "?c")], minus=[[("?y", "P19", "?pl")]]
+        )
+
+
+def test_minus_after_optional_null_rows_survive(triples):
+    # SQL anti-join NULL semantics: a row whose shared var is NULL from
+    # an unmatched OPTIONAL is never removed by MINUS on that var
+    out = match_patterns(
+        triples,
+        [("?x", "P31", "?c")],
+        optional=[[("?x", "P19", "?pl")]],
+        minus=[[("?pl", "P1082", "?pop")]],
+    )
+    got = {(r["x"], r["pl"]) for r in out.collect()}
+    # Q1/Q3 dropped (pl=Q90 has P1082); Q2 kept (Q64 has none);
+    # Q90/Q64 kept (pl NULL)
+    assert got == {("Q2", "Q64"), ("Q90", None), ("Q64", None)}
+
+
+STATS_TRIPLES = (
+    # mega-predicate: P31 -> Q5 for many subjects
+    [(f"Q{i}", "P31", "Q5") for i in range(1, 41)]
+    # tiny predicate: one row
+    + [("Q1", "P214", "viaf-1")]
+    # P19 edges for a few
+    + [(f"Q{i}", "P19", "Q90") for i in range(1, 6)]
+)
+
+
+@pytest.fixture(scope="module")
+def stats_setup(spark):
+    from wikidata_dump_processor_spark.operators.triples import (
+        predicate_stats,
+    )
+
+    t = spark.createDataFrame(
+        STATS_TRIPLES, "subj string, pred string, obj string"
+    )
+    return t, predicate_stats(t, exact=True)
+
+
+def test_order_patterns_stats_vs_static(stats_setup):
+    from wikidata_dump_processor_spark.plans.bgp import (
+        _order_patterns,
+        estimate_pattern_rows,
+    )
+
+    t, stats_df = stats_setup
+    stats = {
+        r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+        for r in stats_df.collect()
+    }
+    pats = [("?x", "P31", "Q5"), ("?x", "P214", "?v")]
+    # static heuristic: constant-object P31 scores higher -> mega first
+    static_order = [p for p, _c in _order_patterns(pats)]
+    assert static_order[0] == ("?x", "P31", "Q5")
+    # stats: P31->Q5 matches 40 rows, P214 matches 1 -> tiny first
+    stats_order = [p for p, _c in _order_patterns(pats, stats)]
+    assert stats_order[0] == ("?x", "P214", "?v")
+    # estimates are what the ordering claims
+    assert estimate_pattern_rows(("?x", "P31", "Q5"), stats) == 40.0
+    assert estimate_pattern_rows(("?x", "P214", "?v"), stats) == 1.0
+    # unseen predicate estimates 0 (maximally selective)
+    assert estimate_pattern_rows(("?x", "P999", "?v"), stats) == 0.0
+
+
+def test_stats_order_changes_join_tree_not_result(stats_setup):
+    t, stats_df = stats_setup
+    pats = [("?x", "P31", "Q5"), ("?x", "P214", "?v")]
+    res_static = match_patterns(t, pats)
+    res_stats = match_patterns(t, pats, stats=stats_df)
+    assert _rows(res_static) == _rows(res_stats) == [("viaf-1", "Q1")]
+    # the optimized join tree's LEFT (first) leaf carries the selective
+    # P214 filter under stats, the mega P31 filter under the static rule
+    def first_pred(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        i214, i31 = plan.find("P214"), plan.find("P31")
+        assert i214 >= 0 and i31 >= 0
+        return "P214" if i214 < i31 else "P31"
+
+    assert first_pred(res_static) == "P31"
+    assert first_pred(res_stats) == "P214"
+
+
+def test_stats_accepts_dataframe_and_dict(stats_setup):
+    t, stats_df = stats_setup
+    stats = {
+        r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+        for r in stats_df.collect()
+    }
+    pats = [("?x", "P31", "Q5"), ("?x", "P19", "?pl")]
+    assert _rows(match_patterns(t, pats, stats=stats_df)) == _rows(
+        match_patterns(t, pats, stats=stats)
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPTIONAL / UNION
 # ---------------------------------------------------------------------------
 

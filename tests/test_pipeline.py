@@ -447,6 +447,59 @@ def test_pipeline_triples_by_subj_colocated(spark, tmp_path):
     assert res2["triples_by_subj"].count() == cano.count()
 
 
+def test_attach_labels_bucketed_no_exchange_on_nodes(spark, tmp_path):
+    """wdq2 'labels' render mode (wdq2.pl:484-502) over the pipeline's
+    bucketed nodes table: labels come back exactly, and the lookup join
+    keeps the nodes side exchange-free (single numeric bucket key; the
+    exact-id check is a residual condition, never a second hash key)."""
+    from wikidata_dump_processor_spark.plans.bgp import (
+        attach_labels,
+        match_patterns,
+    )
+
+    out = str(tmp_path / "kg")
+    pages = datagen.gen_pages(spark, 120).localCheckpoint(eager=True)
+    al, cat = datagen.gen_aliases(spark), datagen.gen_entity_catalog(spark)
+    res = run_pipeline(spark, pages, al, out, cat, fingerprint="f")
+    nodes = spark.table(res["manifest"].stages["nodes"]["metrics"]["table"])
+    q = match_patterns(res["canonical_triples"], [("?x", "P31", "?cls")])
+    lab = attach_labels(q, nodes, columns=["x"])
+    rows = lab.collect()
+    assert rows
+    nd = {r["id"]: r["label"] for r in nodes.select("id", "label").collect()}
+    for r in rows:
+        assert r["x_label"] == nd.get(r["x"]), r
+
+    # at-scale plan (broadcast disabled): SMJ against the bucketed scan,
+    # every hash exchange is on the probe side — none repartitions nodes
+    saved = {}
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, "-1")
+    try:
+        lab2 = attach_labels(q, nodes, columns=["x"])
+        lab2.collect()
+        plan = (
+            lab2._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        ex = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert ex and all("__lab" not in ln for ln in ex), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_cli_module_entry_end_to_end(spark, tmp_path):
     """VERDICT r4 #4 (packaging): `python -m wikidata_dump_processor_spark
     PAGES OUT --aliases A --catalog C` runs the fixture pipeline end to
@@ -502,6 +555,25 @@ def test_cli_module_entry_end_to_end(spark, tmp_path):
     assert q1.returncode == 0, q1.stderr[-3000:]
     lines = [ln for ln in q1.stdout.splitlines() if "\t" in ln]
     assert lines[0] == "cls\tx" and len(lines) == 6
+
+    # --labels render mode + MINUS negation in one invocation: entity
+    # cells render as 'Qid (label)' from the bucketed nodes table, and
+    # the --minus group drops authority-controlled subjects
+    q3 = subprocess.run(
+        [sys.executable, "-m", "wikidata_dump_processor_spark", "query",
+         out, "?x P31 ?cls", "--minus", "?x P214 ?v",
+         "--labels", "--stats", "--cpus", "4", "--limit", "5"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert q3.returncode == 0, q3.stderr[-3000:]
+    l3 = [ln for ln in q3.stdout.splitlines() if "\t" in ln]
+    assert l3[0] == "cls\tx"
+    # at least one x cell rendered with its node label
+    assert any(
+        "(" in ln.split("\t")[1] and ln.split("\t")[1].endswith(")")
+        for ln in l3[1:]
+    ), q3.stdout
 
     # bare-id point query, ndjson out
     subj = spark.read.parquet(

@@ -71,10 +71,24 @@ def _query_main(argv: list[str]) -> int:
                    help="OPTIONAL pattern group (BGP string, repeatable): "
                         "left-joined on shared variables, NULL where "
                         "unmatched")
+    p.add_argument("--minus", action="append", default=[],
+                   help="MINUS pattern group (BGP string, repeatable): "
+                        "bindings with a matching solution on the shared "
+                        "variables are removed (SPARQL negation — the "
+                        "reference's no_P31 report shape)")
     p.add_argument("--union", action="append", default=[],
                    help="additional UNION branch (BGP string, repeatable): "
                         "branches align by variable name, missing "
                         "variables surface NULL")
+    p.add_argument("--stats", action="store_true",
+                   help="compute per-predicate statistics first and let "
+                        "the planner order patterns by estimated "
+                        "cardinality instead of the static heuristic")
+    p.add_argument("--labels", action="store_true",
+                   help="wdq2 'labels' render mode: entity bindings are "
+                        "printed as 'Q42 (label)' via the pipeline's "
+                        "bucketed nodes table (exchange-free on the "
+                        "nodes side)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--bag", action="store_true",
                    help="keep duplicate bindings (default: distinct)")
@@ -111,27 +125,66 @@ def _query_main(argv: list[str]) -> int:
         triples = read_ntriples(spark, os.path.join(args.out, args.table))
     else:
         triples = spark.read.parquet(os.path.join(args.out, args.table))
+    stats = None
+    if args.stats:
+        from .operators.triples import predicate_stats
+
+        stats = predicate_stats(triples, exact=False)
     if args.union:
+        if args.minus:
+            p.error("--union and --minus cannot combine in one query")
         res = match_union(
             triples, [patterns, *args.union], filters=args.filter,
             distinct=not args.bag, allow_product=args.allow_product,
-            limit=args.limit,
+            limit=args.limit, stats=stats,
         )
     else:
         res = match_patterns(
             triples, patterns, filters=args.filter,
             distinct=not args.bag, allow_product=args.allow_product,
-            limit=args.limit, optional=args.optional,
+            limit=args.limit, optional=args.optional, minus=args.minus,
+            stats=stats,
         )
+    base_cols = list(res.columns)
+    if args.labels:
+        from .plans.bgp import attach_labels
+        from .plans.pipeline import StageManifest, _ensure_bucketed_table
+
+        man = StageManifest(args.out)
+        ninfo = man.stages.get("nodes", {})
+        npath = ninfo.get("path", os.path.join(args.out, "nodes"))
+        nmet = ninfo.get("metrics", {})
+        if nmet.get("table"):
+            # re-attach the bucketed layout so the lookup joins plan
+            # with no Exchange on the nodes side
+            _ensure_bucketed_table(
+                spark, nmet["table"], npath,
+                nmet.get("buckets", 64), "id_num",
+            )
+            nodes = spark.table(nmet["table"])
+        else:
+            nodes = spark.read.parquet(npath)
+        res = attach_labels(res, nodes, columns=base_cols)
     cols = res.columns
     rows = res.toLocalIterator()
     if args.json:
         for r in rows:
             print(json.dumps(dict(zip(cols, r)), ensure_ascii=False))
     else:
-        print("\t".join(cols))
+        print("\t".join(base_cols))
         for r in rows:
-            print("\t".join("" if v is None else str(v) for v in r))
+            d = dict(zip(cols, r))
+            cells = []
+            for c in base_cols:
+                v = d[c]
+                lab = d.get(f"{c}_label")
+                if v is None:
+                    cells.append("")
+                elif lab is not None:
+                    cells.append(f"{v} ({lab})")
+                else:
+                    cells.append(str(v))
+            print("\t".join(cells))
     spark.stop()
     return 0
 

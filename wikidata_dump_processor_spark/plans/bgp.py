@@ -16,10 +16,13 @@ Compilation is deliberately relational, not graph-imperative:
   and because the canonical triples table is partitioned by ``pred``
   (plans/pipeline.py), a constant-predicate pattern (the overwhelmingly
   common case — ``?x P31 Q5``) reads exactly one partition directory;
-* patterns are joined on their shared variables, ordered greedily by a
+* patterns are joined on their shared variables, ordered greedily
+  smallest-first: by ESTIMATED CARDINALITY when the caller passes the
+  engine's own per-predicate statistics (``stats=`` — the
+  operators/triples.predicate_stats report; a constant-object probe on
+  a mega-predicate then never seeds the join tree), else by a static
   bound-term selectivity score (constant subject > constant object >
-  constant predicate — mirroring the reference's id-first access path),
-  so the running bindings relation starts as small as the query allows;
+  constant predicate — mirroring the reference's id-first access path);
 * the running bindings side is usually tiny relative to the triples
   scan on the other side; AQE's runtime size stats convert those joins
   to broadcast-hash automatically, which beats any static guess here
@@ -101,6 +104,95 @@ def _score(pattern) -> int:
         for pos, term in zip(POSITIONS, pattern)
         if not is_var(term)
     )
+
+
+def _normalize_pattern(pattern):
+    """Rewrite an inverse-path term at compile time: ``?a ^P361 ?b``
+    is exactly ``?b P361 ?a`` (SPARQL 1.1 inverse path), so swapping
+    the endpoint roles lets every downstream stage — scans, closures,
+    path modifiers (``^P361+`` becomes a forward ``P361+`` walk from
+    the swapped endpoints) — run the forward machinery unchanged."""
+    s, pred, o = pattern
+    if isinstance(pred, str) and pred.startswith("^"):
+        base = pred[1:]
+        if not base or is_var(base) or base.startswith("^"):
+            raise ValueError(
+                f"invalid inverse-path predicate {pred!r} — '^' applies "
+                "once, to a constant predicate"
+            )
+        return (o, base, s)
+    return pattern
+
+
+def estimate_pattern_rows(pattern, stats: dict) -> float:
+    """Estimated result cardinality of one pattern from per-predicate
+    table statistics ``{pred: (n_triples, n_subj, n_obj)}`` (the
+    operators/triples.predicate_stats report) under the uniform
+    assumption: a constant subject divides by the predicate's distinct
+    subjects, a constant object by its distinct objects; a variable
+    predicate sums the per-predicate estimates; a predicate absent from
+    the stats matches nothing (0.0 — maximally selective).  Both-
+    variables path patterns return +inf: they must order last so their
+    walk runs seeded (see _score)."""
+    s, pred, o = pattern
+    po = _path_op(pattern)
+    if po is not None and is_var(s) and is_var(o):
+        return float("inf")
+    base = po[0] if po is not None else pred
+
+    def one(n, ns, no):
+        est = float(n)
+        if not is_var(s):
+            est /= max(float(ns), 1.0)
+        if not is_var(o):
+            est /= max(float(no), 1.0)
+        return est
+
+    if is_var(base):
+        return float(sum(one(*v) for v in stats.values()))
+    v = stats.get(base)
+    return 0.0 if v is None else one(*v)
+
+
+def _order_patterns(
+    patterns, stats: dict | None = None, allow_product: bool = False
+) -> list:
+    """Greedy join order → ``[(pattern, connected_to_prior)]``.
+
+    With ``stats`` (per-predicate cardinalities), patterns are taken
+    smallest-estimated-result first — the reference's access-path
+    discipline is id-first because ids are SELECTIVE (wdq2.pl:375), and
+    the static position-weight heuristic cannot see that a constant-
+    object probe on a mega-predicate (P31→Q5) is orders of magnitude
+    bigger than one on a one-row predicate; AQE can fix the join
+    STRATEGY at runtime but never the join ORDER.  Without stats, the
+    position-weight fallback applies.  Connected patterns always
+    precede disconnected ones (which raise unless ``allow_product``)."""
+    key = (
+        (lambda p: float(-_score(p)))
+        if stats is None
+        else (lambda p: estimate_pattern_rows(p, stats))
+    )
+    remaining = list(patterns)
+    start = min(remaining, key=key)
+    remaining.remove(start)
+    order = [(start, True)]
+    bound = _pattern_vars(start)
+    while remaining:
+        connected = [p for p in remaining if _pattern_vars(p) & bound]
+        if connected:
+            nxt, flag = min(connected, key=key), True
+        else:
+            if not allow_product:
+                raise ValueError(
+                    "disconnected pattern group (cartesian product); "
+                    "pass allow_product=True to run it anyway"
+                )
+            nxt, flag = min(remaining, key=key), False
+        remaining.remove(nxt)
+        order.append((nxt, flag))
+        bound |= _pattern_vars(nxt)
+    return order
 
 
 def _pattern_vars(pattern) -> set[str]:
@@ -276,6 +368,8 @@ def match_patterns(
     allow_product: bool = False,
     limit: int | None = None,
     optional: list[list[tuple[str, str, str]] | str] | tuple = (),
+    minus: list[list[tuple[str, str, str]] | str] | tuple = (),
+    stats: DataFrame | dict | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query; one output column
     per distinct ``?variable``.
@@ -287,9 +381,29 @@ def match_patterns(
     ``P279+`` (one or more edges) / ``P279*`` (zero or more) — evaluated
     as a cycle-safe fixpoint over that predicate's edge set
     (operators/graph.transitive_closure_*; the both-variables form is
-    gated, see there).  NULL never binds a join variable (standard inner
-    join semantics on both engines); non-join variables may surface
-    NULL bindings exactly as a SQL self-join would.
+    gated, see there) — and/or a LEADING ``^`` (SPARQL inverse path:
+    ``?a ^P361 ?b`` ≡ ``?b P361 ?a``; ``^P361+`` walks the reversed
+    edges' closure), rewritten at compile time by swapping the endpoint
+    roles.  NULL never binds a join variable (standard inner join
+    semantics on both engines); non-join variables may surface NULL
+    bindings exactly as a SQL self-join would.
+
+    ``minus`` is a list of pattern groups removed SPARQL-MINUS-style:
+    a binding is dropped when the group has a solution agreeing on the
+    shared variables (an ANTI join on them — the reference's own no_P31
+    report shape, cntprops.pl:41,54-79).  Each group must share at
+    least one variable with the rest of the query (a MINUS sharing
+    nothing would remove nothing in SPARQL — here it raises as a query
+    bug).  A shared variable an OPTIONAL left NULL follows SQL
+    anti-join NULL semantics: the NULL row is never removed.
+
+    ``stats`` feeds the join-order planner per-predicate cardinalities:
+    pass the operators/triples.predicate_stats DataFrame (pred,
+    n_triples, n_subj, n_obj) or an equivalent ``{pred: (n, n_subj,
+    n_obj)}`` dict; patterns are then joined smallest-estimated-result
+    first instead of by the static position-weight heuristic (see
+    _order_patterns — a DataFrame is collected: it is dimension-sized,
+    one row per distinct predicate).
 
     ``optional`` is a list of pattern groups (each a list of 3-term
     tuples or a ``parse_bgp`` string) LEFT-joined to the running
@@ -314,17 +428,33 @@ def match_patterns(
     opt_groups = [
         parse_bgp(g) if isinstance(g, str) else list(g) for g in optional
     ]
+    minus_groups = [
+        parse_bgp(g) if isinstance(g, str) else list(g) for g in minus
+    ]
+    for p in [q for g in minus_groups for q in g]:
+        if len(p) != 3:
+            raise ValueError(f"pattern needs 3 terms: {p!r}")
+    # MINUS internals are invisible to filters — a filter naming a
+    # minus-only variable hits Spark's own unresolved-column error at
+    # its application site instead of silently waiting forever
     all_vars: set[str] = set()
     for p in list(patterns) + [p for g in opt_groups for p in g]:
         if len(p) != 3:
             raise ValueError(f"pattern needs 3 terms: {p!r}")
         all_vars |= _pattern_vars(p)
+    patterns = [_normalize_pattern(p) for p in patterns]
+    if isinstance(stats, DataFrame):
+        # dimension-sized collect: one row per distinct predicate
+        stats = {
+            r[0]: (r[1], r[2], r[3])
+            for r in stats.select(
+                "pred", "n_triples", "n_subj", "n_obj"
+            ).collect()
+        }
 
     base = triples.select(*POSITIONS)
-    remaining = list(patterns)
-    # greedy start: most-bound pattern
-    start = max(remaining, key=_score)
-    remaining.remove(start)
+    order = _order_patterns(patterns, stats, allow_product)
+    start, _ = order[0]
     out = _term_df(base, start)
     bound = _pattern_vars(start)
 
@@ -343,11 +473,8 @@ def match_patterns(
 
     out = _apply_ready_filters(out)
 
-    while remaining:
-        connected = [p for p in remaining if _pattern_vars(p) & bound]
+    for nxt, connected in order[1:]:
         if connected:
-            nxt = max(connected, key=_score)
-            remaining.remove(nxt)
             shared = sorted(_pattern_vars(nxt) & bound)
             po = _path_op(nxt)
             if (
@@ -368,13 +495,6 @@ def match_patterns(
                 rhs = _term_df(base, nxt)
             out = out.join(rhs, on=shared, how="inner")
         else:
-            if not allow_product:
-                raise ValueError(
-                    "disconnected pattern group (cartesian product); "
-                    "pass allow_product=True to run it anyway"
-                )
-            nxt = max(remaining, key=_score)
-            remaining.remove(nxt)
             out = out.crossJoin(_term_df(base, nxt))
         bound |= _pattern_vars(nxt)
         out = _apply_ready_filters(out)
@@ -402,7 +522,11 @@ def match_patterns(
                 "required patterns (a cross-join OPTIONAL is a query bug)"
             )
         rhs = match_patterns(
-            triples, group, distinct=False, allow_product=allow_product
+            triples,
+            group,
+            distinct=False,
+            allow_product=allow_product,
+            stats=stats,
         )
         cond_keys = [v for v in shared if v in maybe_null]
         if not cond_keys:
@@ -427,6 +551,32 @@ def match_patterns(
         maybe_null |= gvars - req_bound
         out = _apply_ready_filters(out)
 
+    # SPARQL MINUS: anti-join each negation group on its shared
+    # variables — the group's solution set is projected to those
+    # variables and DEDUPLICATED first, so the anti build side is the
+    # distinct key set, not the group's full bindings (AQE turns the
+    # probe into a broadcast anti join whenever that key set is small)
+    for group in minus_groups:
+        gvars = set()
+        for p in group:
+            gvars |= _pattern_vars(p)
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                f"MINUS group {group!r} shares no variable with the "
+                "query (SPARQL would remove nothing — a query bug)"
+            )
+        rhs = match_patterns(
+            triples,
+            group,
+            distinct=False,
+            allow_product=allow_product,
+            stats=stats,
+        )
+        out = out.join(
+            rhs.select(*shared).distinct(), on=shared, how="left_anti"
+        )
+
     # every variable is bound once the loops drain, so every filter has
     # been applied by now (a filter naming an unknown column fails in
     # analysis at its application site, with Spark's own error)
@@ -447,6 +597,7 @@ def match_union(
     distinct: bool = True,
     allow_product: bool = False,
     limit: int | None = None,
+    stats: DataFrame | dict | None = None,
 ) -> DataFrame:
     """SPARQL UNION: evaluate each branch as its own BGP and take the
     multiset union, aligned by variable name — a variable missing from
@@ -469,6 +620,13 @@ def match_union(
     for fx in filters:
         fv = _filter_vars(fx, all_vars)
         (pushable if all(fv <= bv for bv in branch_vars) else post).append(fx)
+    if isinstance(stats, DataFrame):
+        stats = {
+            r[0]: (r[1], r[2], r[3])
+            for r in stats.select(
+                "pred", "n_triples", "n_subj", "n_obj"
+            ).collect()
+        }
     dfs = [
         match_patterns(
             triples,
@@ -476,6 +634,7 @@ def match_union(
             filters=pushable,
             distinct=False,
             allow_product=allow_product,
+            stats=stats,
         )
         for b in branches
     ]
@@ -490,6 +649,55 @@ def match_union(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def attach_labels(
+    res: DataFrame,
+    nodes: DataFrame,
+    columns: list[str] | None = None,
+    label_col: str = "label",
+) -> DataFrame:
+    """wdq2's ``labels`` render mode (wdq2.pl:484-502: every id the
+    report prints is looked up and rendered next to its label) for BGP
+    results: for each result column holding entity ids, append a
+    ``<col>_label`` column from the ``nodes`` table (NULL for literals,
+    non-entity bindings, and unknown ids).
+
+    Plan shape: the ONLY equi-join key is the numeric bucket key
+    ``id_num``, so on the pipeline's bucketed nodes layout
+    (plans/pipeline._write_stage_bucketed, hash on ``id_num``) the
+    nodes side plans with NO Exchange; only the (small) bindings side
+    shuffles (AQE broadcasts the nodes side instead when it is small
+    enough — zero exchanges).  The exact-id check (``Q224`` vs ``L224``
+    share a numeric part) rides along as a residual join condition —
+    deliberately wrapped in a CASE so Spark does NOT extract it as a
+    second hash key, which would force a re-shuffle of the bucketed
+    side on ``(id_num, id)``.  With several entity columns the nodes
+    scan repeats per column, each exchange-free."""
+    from ..functions.ids import id_num
+
+    cols = list(columns) if columns is not None else list(res.columns)
+    lab = nodes.select(
+        F.col("id_num").alias("__lab_num"),
+        F.col("id").alias("__lab_id"),
+        F.col(label_col).alias("__lab_val"),
+    )
+    for c in cols:
+        res = res.withColumn("__probe_num", id_num(F.col(c)))
+        id_matches = (
+            F.when(F.col(c) == lab["__lab_id"], F.lit(True))
+            .otherwise(F.lit(False))
+        )
+        res = (
+            res.join(
+                lab,
+                (F.col("__probe_num") == lab["__lab_num"]) & id_matches,
+                "left",
+            )
+            .withColumn(f"{c}_label", F.col("__lab_val"))
+            .drop("__probe_num", "__lab_num", "__lab_id", "__lab_val")
+        )
+    return res
 
 
 def _union_branch_vars(branch) -> set[str]:

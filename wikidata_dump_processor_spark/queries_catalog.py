@@ -1299,6 +1299,37 @@ def _q_bgp1(spark, sf_dir):
 
 
 @q(
+    "neg1_minus_no_authority",
+    f"""
+    SELECT DISTINCT t1.obj AS cls, t1.subj AS x
+    FROM {_gp('triples')} t1
+    WHERE t1.pred = 'P31'
+      AND NOT EXISTS (
+        SELECT 1 FROM {_gp('triples')} t2
+        WHERE t2.pred = 'P214' AND t2.subj = t1.subj
+      )
+    """,
+    driver=False,
+)
+def _q_neg1(spark, sf_dir):
+    """SPARQL MINUS (plans/bgp.match_patterns minus=) — the engine form
+    of the reference's negation report (items WITHOUT a property,
+    cntprops.pl:41,54-79 no_P31 shape): classed items lacking a VIAF
+    authority id, anti-joined on the shared subject variable and
+    oracle-checked against DuckDB's NOT EXISTS over the SAME golden
+    triples."""
+    from .operators.triples import extract_triples
+    from .plans.bgp import match_patterns
+
+    triples = extract_triples(_kg_parsed(spark, sf_dir))
+    return match_patterns(
+        triples,
+        [("?x", "P31", "?cls")],
+        minus=[[("?x", "P214", "?v")]],
+    )
+
+
+@q(
     "g3_degree_stats",
     f"""
     WITH e AS (
