@@ -21,6 +21,13 @@ Set BENCH_ONLY=kg_pipeline to time only the pipeline and BENCH_REPS=1
 for single-shot (used by the scaling harness, tools/scaling_bench.py,
 which supplies its own interleaved protocol).
 
+Round-6 exclusivity guard (tools/bench_lock.py): the run takes an
+flock (aborts loudly if another bench job holds it; children inherit
+via BENCH_LOCK_HELD), and a /proc sweep for foreign Spark JVMs runs at
+every control point — the artifact carries
+``concurrent_spark_detected`` / ``foreign_spark_pids`` so a
+contaminated window excludes itself instead of by hand (round-5 run S).
+
 Round-5 addition: unless BENCH_WEAK_WINDOW=0, the artifact also carries
 paired weak-scaling windows (the criterion-evidence formulation from
 SCALE.md / BENCH/BASELINE.md: data and cores grow together, N cores @
@@ -202,9 +209,18 @@ def _weak_window(scratch: str) -> dict | None:
 
 
 def main():
+    from tools.bench_lock import acquire_bench_lock, foreign_spark_jvms
+
     from wikidata_dump_processor_spark import datagen
     from wikidata_dump_processor_spark.queries_catalog import SPARK_QUERIES
     from wikidata_dump_processor_spark.session import get_spark
+
+    # exclusivity guard (round-5 run S had to be hand-excluded): abort
+    # loudly if another bench holds the lock, and sweep for foreign
+    # Spark JVMs at every control point so the artifact carries its own
+    # contamination verdict
+    bench_lock = acquire_bench_lock()
+    foreign: set[int] = set(foreign_spark_jvms())
 
     # Stage outputs + shuffle files on tmpfs: on a real cluster both go to
     # storage whose aggregate bandwidth scales with executor count (S3 /
@@ -224,6 +240,7 @@ def main():
     def take_control():
         control["probe_1p_sec"].append(_cpu_probe_1p())
         control["probe_allcore_sec"].append(_cpu_probe_allcore(CPUS))
+        foreign.update(foreign_spark_jvms())
 
     n_pages = int(os.environ.get("BENCH_KG_PAGES", "0")) or datagen.sf_to_n_pages(SF_DIR)
 
@@ -324,11 +341,15 @@ def main():
                 weak_eff_paired=round(med, 3),
             )
 
+    foreign.update(foreign_spark_jvms())
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "end_to_end_wall_time",
+                "bench_lock": bench_lock,
+                "concurrent_spark_detected": bool(foreign),
+                "foreign_spark_pids": sorted(foreign) or None,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

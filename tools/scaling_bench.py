@@ -128,6 +128,12 @@ def cpu_control(lo: int, hi: int, secs: float = 6.0) -> float:
 
 
 def main():
+    from bench_lock import acquire_bench_lock, foreign_spark_jvms
+
+    # exclusivity guard (run S of round 5 had to be hand-excluded): one
+    # flock per bench job, foreign-JVM sweep recorded in the artifact
+    bench_lock = acquire_bench_lock()
+    foreign: set[int] = set(foreign_spark_jvms())
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     lo, hi = LEVELS
     n = int(os.environ.get("SCALING_N", "800000"))
@@ -167,6 +173,15 @@ def main():
               f"local[{hi}] {r_hi['pages_per_sec']} pps | "
               f"weak local[{lo}]@{n // 4} {w_lo['pages_per_sec']} pps | "
               f"strong {eff_s:.3f} weak {eff_w:.3f}")
+        foreign.update(foreign_spark_jvms())
+        for r in (r_lo, r_hi, w_lo):  # child benches sweep too
+            foreign.update(r.get("foreign_spark_pids") or [])
+        if foreign:
+            print(
+                f"WARNING: concurrent Spark detected (pids {sorted(foreign)})"
+                " — this window is contaminated and must be excluded",
+                file=sys.stderr,
+            )
     for cpus in saturated:  # absolute-throughput anchor, one rep
         r = run_once(cpus)
         results[cpus].append(r)
@@ -198,6 +213,9 @@ def main():
         json.dump(
             {
                 "levels": LEVELS,
+                "bench_lock": bench_lock,
+                "concurrent_spark_detected": bool(foreign),
+                "foreign_spark_pids": sorted(foreign) or None,
                 "eff_best": round(eff_best, 3),
                 "eff_median": round(eff_med, 3),
                 "eff_paired_median": round(eff_paired, 3),
