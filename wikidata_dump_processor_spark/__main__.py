@@ -241,6 +241,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pagerank-iters", type=int, default=10)
     p.add_argument("--demo-pages", type=int, default=None,
                    help="generate N deterministic synthetic pages instead of reading PAGES")
+    p.add_argument("--snapshot-backend", default=None,
+                   choices=["json", "iceberg", "auto"],
+                   help="mirror every stage commit into a snapshot "
+                        "catalog (plans/snapshots.py): real pyiceberg "
+                        "snapshots when installed, a JSON snapshot log "
+                        "otherwise; manifest entries gain snapshot_id")
     args = p.parse_args(argv)
 
     from .plans.pipeline import preflight_input_gate, run_pipeline
@@ -291,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
         graph_stats=args.graph_stats,
         pagerank_iters=args.pagerank_iters,
         export_rdf=args.export_rdf,
+        snapshot_backend=args.snapshot_backend,
     )
     man = res["manifest"]
     summary = {

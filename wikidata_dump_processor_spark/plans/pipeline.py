@@ -84,14 +84,26 @@ def preflight_input_gate(
 
 
 class StageManifest:
-    """Tiny snapshot log: stage -> {fingerprint, path, metrics, ts}."""
+    """Tiny snapshot log: stage -> {fingerprint, path, metrics, ts}.
 
-    def __init__(self, root: str):
+    ``snapshot_backend`` additionally mirrors every stage commit into a
+    snapshot catalog (plans/snapshots.py: ``"json"`` side-log always,
+    ``"iceberg"`` real pyiceberg snapshots when installed, ``"auto"``
+    prefers iceberg) and records the resulting ``snapshot_id`` on the
+    manifest entry — time travel and St3 incremental reads then key on
+    real snapshot ids instead of caller-carried file sets."""
+
+    def __init__(self, root: str, snapshot_backend: str | None = None):
         self.root = root
         self.path = os.path.join(root, MANIFEST)
         os.makedirs(root, exist_ok=True)
         self.stages: dict[str, dict] = {}
         self._lock = threading.Lock()  # stages commit from concurrent threads
+        self.snapshots = None
+        if snapshot_backend:
+            from .snapshots import open_catalog
+
+            self.snapshots = open_catalog(root, snapshot_backend)
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.stages = json.load(f)
@@ -156,7 +168,7 @@ class StageManifest:
     def commit(self, stage: str, fingerprint: str, path: str, metrics: dict):
         with self._lock:
             started = self.stages.get(stage, {}).get("started_at")
-            self.stages[stage] = {
+            entry = {
                 "fingerprint": fingerprint,
                 "state": "committed",
                 "path": path,
@@ -164,6 +176,12 @@ class StageManifest:
                 "started_at": started,
                 "committed_at": time.time(),
             }
+            if self.snapshots is not None:
+                entry["snapshot_id"] = self.snapshots.commit(
+                    stage, path, fingerprint
+                )
+                entry["snapshot_backend"] = self.snapshots.backend
+            self.stages[stage] = entry
             self._flush()
 
     def _flush(self):
@@ -359,6 +377,7 @@ def run_pipeline(
     graph_stats: bool = False,
     pagerank_iters: int = 10,
     export_rdf: bool = False,
+    snapshot_backend: str | None = None,
 ) -> dict[str, DataFrame]:
     """pages + alias dictionary -> materialized KG tables.
 
@@ -436,7 +455,7 @@ def run_pipeline(
             raise IncompleteInputError(
                 f"pages input has {n_in} rows, outside expected [{lo_n}, {hi_n}]"
             )
-    man = StageManifest(out_dir)
+    man = StageManifest(out_dir, snapshot_backend=snapshot_backend)
     stage_names = [
         "extract", "triples", "items", "props", "mentions", "canonical", "nodes"
     ]
