@@ -74,8 +74,13 @@ def _ancestors(pid: int, max_depth: int = 64) -> list[int]:
 
 
 def foreign_spark_jvms() -> list[int]:
-    """PIDs of Spark JVMs not belonging to this bench job (see module
-    docstring for the ancestry rule).  Cheap: one /proc sweep."""
+    """PIDs of Spark JVMs not belonging to this bench job.  A JVM is
+    OWNED when the calling process is among its ancestors (our own
+    driver/gateway JVM and any fresh-JVM window children), or when a
+    bench-marker process is (the cross-generation case: a parent
+    bench's lingering gateway JVM seen from a window child).  Cheap:
+    one /proc sweep."""
+    self_pid = os.getpid()
     out = []
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
@@ -88,6 +93,9 @@ def foreign_spark_jvms() -> list[int]:
             continue
         owned = False
         for anc in _ancestors(pid):
+            if anc == self_pid:
+                owned = True
+                break
             cmd = " ".join(_cmdline(anc))
             if any(m in cmd for m in _BENCH_MARKERS):
                 owned = True
