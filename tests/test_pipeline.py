@@ -447,6 +447,47 @@ def test_pipeline_triples_by_subj_colocated(spark, tmp_path):
     assert res2["triples_by_subj"].count() == cano.count()
 
 
+def test_pipeline_table_stats_stage(spark, tmp_path):
+    """table_stats=True materializes the predicate_stats report as a
+    resumable stage; the query planner's stats ordering then reads a
+    dimension-sized table instead of re-scanning the corpus."""
+    from wikidata_dump_processor_spark.operators.triples import (
+        predicate_stats,
+    )
+    from wikidata_dump_processor_spark.plans.bgp import match_patterns
+
+    out = str(tmp_path / "kg")
+    pages = datagen.gen_pages(spark, 120).localCheckpoint(eager=True)
+    al, cat = datagen.gen_aliases(spark), datagen.gen_entity_catalog(spark)
+    res = run_pipeline(
+        spark, pages, al, out, cat, fingerprint="f", table_stats=True
+    )
+    st = res["predicate_stats"]
+    assert set(st.columns) >= {"pred", "n_triples", "n_subj", "n_obj"}
+    man = res["manifest"]
+    assert man.stages["predicate_stats"]["state"] == "committed"
+    # values match a direct computation (n_triples is exact either way)
+    got = {r["pred"]: r["n_triples"] for r in st.collect()}
+    want = {
+        r["pred"]: r["n_triples"]
+        for r in predicate_stats(res["canonical_triples"]).collect()
+    }
+    assert got == want
+    # and it drives the planner: a query with stats= still answers right
+    q = match_patterns(
+        res["canonical_triples"],
+        [("?x", "P31", "?c"), ("?x", "P214", "?v")],
+        stats=st.drop("_part_id"),
+    )
+    assert q.count() > 0
+    # resume: second run skips the stage
+    before = man.stages["predicate_stats"]["committed_at"]
+    res2 = run_pipeline(
+        spark, pages, al, out, cat, fingerprint="f", table_stats=True
+    )
+    assert res2["manifest"].stages["predicate_stats"]["committed_at"] == before
+
+
 def test_attach_labels_bucketed_no_exchange_on_nodes(spark, tmp_path):
     """wdq2 'labels' render mode (wdq2.pl:484-502) over the pipeline's
     bucketed nodes table: labels come back exactly, and the lookup join

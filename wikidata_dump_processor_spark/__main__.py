@@ -81,9 +81,11 @@ def _query_main(argv: list[str]) -> int:
                         "branches align by variable name, missing "
                         "variables surface NULL")
     p.add_argument("--stats", action="store_true",
-                   help="compute per-predicate statistics first and let "
-                        "the planner order patterns by estimated "
-                        "cardinality instead of the static heuristic")
+                   help="order patterns by estimated cardinality instead "
+                        "of the static heuristic: reads the pipeline's "
+                        "materialized predicate_stats stage when present "
+                        "(--table-stats at pipeline time), else computes "
+                        "the report on the fly")
     p.add_argument("--labels", action="store_true",
                    help="wdq2 'labels' render mode: entity bindings are "
                         "printed as 'Q42 (label)' via the pipeline's "
@@ -127,9 +129,15 @@ def _query_main(argv: list[str]) -> int:
         triples = spark.read.parquet(os.path.join(args.out, args.table))
     stats = None
     if args.stats:
-        from .operators.triples import predicate_stats
+        stats_dir = os.path.join(args.out, "predicate_stats")
+        if os.path.isdir(stats_dir):  # materialized by --table-stats
+            stats = spark.read.parquet(stats_dir).select(
+                "pred", "n_triples", "n_subj", "n_obj"
+            )
+        else:
+            from .operators.triples import predicate_stats
 
-        stats = predicate_stats(triples, exact=False)
+            stats = predicate_stats(triples, exact=False)
     if args.union:
         if args.minus:
             p.error("--union and --minus cannot combine in one query")
@@ -235,6 +243,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="add the subject-bucketed triples layout")
     p.add_argument("--graph-stats", action="store_true",
                    help="add the graph_degrees + graph_pagerank stages")
+    p.add_argument("--table-stats", action="store_true",
+                   help="add the predicate_stats stage (per-predicate "
+                        "cardinalities; the query subcommand's --stats "
+                        "planner reads it instead of re-scanning)")
     p.add_argument("--export-rdf", action="store_true",
                    help="add the rdf_ntriples stage: canonical triples "
                         "as gzip W3C N-Triples (Wikidata IRI scheme)")
@@ -295,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
         curate_opts=curate_opts,
         triples_by_subj=args.triples_by_subj,
         graph_stats=args.graph_stats,
+        table_stats=args.table_stats,
         pagerank_iters=args.pagerank_iters,
         export_rdf=args.export_rdf,
         snapshot_backend=args.snapshot_backend,

@@ -375,6 +375,7 @@ def run_pipeline(
     curate_opts: dict | None = None,
     triples_by_subj: bool = False,
     graph_stats: bool = False,
+    table_stats: bool = False,
     pagerank_iters: int = 10,
     export_rdf: bool = False,
     snapshot_backend: str | None = None,
@@ -429,6 +430,10 @@ def run_pipeline(
          (operators/graph.py), both snapshot-committed + resumable.
          The pred-partitioned ``triples`` layout stays the primary —
          this is the subject-centric access path on top.
+      11. predicate_stats — (``table_stats=True``) the planner-facing
+         per-predicate cardinality report (HLL++ sketch path), a
+         dimension-sized table the query CLI's ``--stats`` join
+         ordering reads instead of re-scanning the corpus at plan time.
 
     Layout choices for 100 TB (SURVEY.md §7.1 'Materialize'):
       * triples partitioned by ``pred`` (the reference's P####.tsv model) —
@@ -465,6 +470,8 @@ def run_pipeline(
         stage_names.append("triples_by_subj")
     if graph_stats:
         stage_names += ["graph_degrees", "graph_pagerank"]
+    if table_stats:
+        stage_names.append("predicate_stats")
     if export_rdf:
         stage_names.append("rdf_ntriples")
     man.plan(stage_names, fp)
@@ -711,6 +718,21 @@ def run_pipeline(
             bucket_col="subj_num", notify=notify,
         )
 
+    pred_stats = None
+    if table_stats:
+        _stop_check()
+        # planner-facing per-predicate cardinalities over the canonical
+        # triples (operators/triples.predicate_stats, HLL++ sketch
+        # path) — materialized so the query CLI's stats-driven BGP join
+        # ordering reads a dimension-sized table instead of re-scanning
+        # the corpus at plan time (the reference's cntprops.pl use_cnt
+        # bookkeeping, amortized the same way).
+        pred_stats = _write_stage(
+            spark, man, "predicate_stats", fp,
+            lambda: TR.predicate_stats(canonical_triples),
+            p("predicate_stats"), notify=notify,
+        )
+
     degrees = pr_ranks = None
     if graph_stats:
         _stop_check()
@@ -793,6 +815,8 @@ def run_pipeline(
     if graph_stats:
         out["graph_degrees"] = degrees
         out["graph_pagerank"] = pr_ranks
+    if table_stats:
+        out["predicate_stats"] = pred_stats
     if export_rdf:
         out["rdf_ntriples"] = rdf_lines
     return out
