@@ -422,9 +422,16 @@ def transitive_closure_pairs(
     closure = e.distinct()
     if checkpoint:
         closure = closure.localCheckpoint(eager=False)
+    # ONE driver action per round (r7, the same economy as the PageRank
+    # dangling fold): count only the DELTA and keep the running total on
+    # the driver — `new` is distinct and anti-joined against the
+    # accumulated closure, so rounds are disjoint and
+    # total == |initial| + sum(|new|) exactly.  The old loop paid
+    # closure.count() (a full recount of the accumulated set) PLUS
+    # new.isEmpty() every round.
+    total = closure.count()
     delta = closure
     for _i in range(max_iters):
-        total = closure.count()
         if max_pairs is not None and total > max_pairs:
             raise ValueError(
                 f"transitive closure hit {total} pairs (> max_pairs="
@@ -443,11 +450,13 @@ def transitive_closure_pairs(
         )
         if checkpoint:
             new = new.localCheckpoint(eager=False)
-        if new.isEmpty():
+        n_new = new.count()  # materializes the checkpoint, replaces isEmpty
+        if n_new == 0:
             return closure
         closure = closure.unionByName(new)
         if checkpoint:
             closure = closure.localCheckpoint(eager=False)
+        total += n_new
         delta = new
     raise ValueError(
         f"closure did not converge in max_iters={max_iters} rounds — "
@@ -493,9 +502,11 @@ def transitive_closure_pairs_from(
     )
     if checkpoint:
         closure = closure.localCheckpoint(eager=False)
+    # delta-count loop: one driver action per round (see
+    # transitive_closure_pairs)
+    total = closure.count()
     delta = closure
     for _i in range(max_iters):
-        total = closure.count()
         if max_pairs is not None and total > max_pairs:
             raise ValueError(
                 f"seeded closure hit {total} pairs (> max_pairs="
@@ -513,11 +524,13 @@ def transitive_closure_pairs_from(
         )
         if checkpoint:
             new = new.localCheckpoint(eager=False)
-        if new.isEmpty():
+        n_new = new.count()  # materializes the checkpoint, replaces isEmpty
+        if n_new == 0:
             return closure
         closure = closure.unionByName(new)
         if checkpoint:
             closure = closure.localCheckpoint(eager=False)
+        total += n_new
         delta = new
     raise ValueError(
         f"seeded closure did not converge in max_iters={max_iters} rounds "

@@ -663,17 +663,22 @@ def attach_labels(
     ``<col>_label`` column from the ``nodes`` table (NULL for literals,
     non-entity bindings, and unknown ids).
 
-    Plan shape: the ONLY equi-join key is the numeric bucket key
-    ``id_num``, so on the pipeline's bucketed nodes layout
-    (plans/pipeline._write_stage_bucketed, hash on ``id_num``) the
-    nodes side plans with NO Exchange; only the (small) bindings side
-    shuffles (AQE broadcasts the nodes side instead when it is small
-    enough — zero exchanges).  The exact-id check (``Q224`` vs ``L224``
-    share a numeric part) rides along as a residual join condition —
-    deliberately wrapped in a CASE so Spark does NOT extract it as a
-    second hash key, which would force a re-shuffle of the bucketed
-    side on ``(id_num, id)``.  With several entity columns the nodes
-    scan repeats per column, each exchange-free."""
+    Plan shape (r7 single-scan rework): the big nodes table is scanned
+    ONCE — the union of every entity column's distinct ``(id_num, id)``
+    probes (result-sized) left-semi-joins the nodes table down to
+    ``needed``, the label rows the render can possibly use, and each
+    column then left-joins against the SAME broadcast of ``needed``
+    (Spark's exchange reuse computes the broadcast once; the plan shows
+    one subtree plus ReusedExchange references).  Before r7 the nodes
+    scan repeated per entity column.  In the semi join the ONLY
+    equi-join key is the numeric bucket key ``id_num``, so on the
+    pipeline's bucketed nodes layout the nodes side still plans with NO
+    Exchange; the exact-id check (``Q224`` vs ``L224`` share a numeric
+    part) rides along as a residual CASE condition so Spark does NOT
+    extract it as a second hash key, which would force a re-shuffle of
+    the bucketed side on ``(id_num, id)``.  The broadcast is bounded by
+    the distinct entity ids actually present in the rendered result —
+    the render path's own output dimension."""
     from ..functions.ids import id_num
 
     cols = list(columns) if columns is not None else list(res.columns)
@@ -682,16 +687,31 @@ def attach_labels(
         F.col("id").alias("__lab_id"),
         F.col(label_col).alias("__lab_val"),
     )
+    probes = None
+    for c in cols:
+        p = res.select(
+            id_num(F.col(c)).alias("__p_num"), F.col(c).alias("__p_id")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    probes = probes.distinct()
+    sem_matches = (
+        F.when(F.col("__lab_id") == F.col("__p_id"), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    needed = lab.join(
+        probes, (F.col("__lab_num") == F.col("__p_num")) & sem_matches,
+        "left_semi",
+    )
     for c in cols:
         res = res.withColumn("__probe_num", id_num(F.col(c)))
         id_matches = (
-            F.when(F.col(c) == lab["__lab_id"], F.lit(True))
+            F.when(F.col(c) == needed["__lab_id"], F.lit(True))
             .otherwise(F.lit(False))
         )
         res = (
             res.join(
-                lab,
-                (F.col("__probe_num") == lab["__lab_num"]) & id_matches,
+                F.broadcast(needed),
+                (F.col("__probe_num") == needed["__lab_num"]) & id_matches,
                 "left",
             )
             .withColumn(f"{c}_label", F.col("__lab_val"))

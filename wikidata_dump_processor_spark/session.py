@@ -55,6 +55,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1 for stage snapshots (r7, guide §6): the default
+        # level 3 costs ~1.6x the write wall for ~9% smaller files
+        # (measured on the 100k-page extract stage: 2.75 s -> 1.76 s,
+        # 37.5 -> 41.0 MB); snapshots are written once and re-read a
+        # handful of times, so write speed wins.  Deployment overrides
+        # via SPARK_GRAFT_ZSTD_LEVEL (e.g. archival tiers want 3+).
+        .config(
+            "spark.hadoop.parquet.compression.codec.zstd.level",
+            os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Pin the heap (-Xms == -Xmx) and pre-touch it: G1's incremental
