@@ -379,6 +379,42 @@ def test_order_patterns_stats_vs_static(stats_setup):
     assert estimate_pattern_rows(("?x", "P999", "?v"), stats) == 0.0
 
 
+def test_path_closure_inflation_orders_plain_pattern_first(stats_setup):
+    """r7 (VERDICT r6 #6): a single-endpoint `+` closure pattern must
+    not win the first-leaf slot over an equally selective PLAIN pattern
+    — its output is the reachable set, not one hop.  Without the
+    inflation the base estimates tie and the closure could seed the
+    tree; with it the plain pattern orders first."""
+    from wikidata_dump_processor_spark.plans.bgp import (
+        PATH_CLOSURE_INFLATION,
+        _order_patterns,
+        estimate_pattern_rows,
+    )
+
+    t, stats_df = stats_setup
+    stats = {
+        r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+        for r in stats_df.collect()
+    }
+    base = estimate_pattern_rows(("?x", "P19", "Q90"), stats)
+    est_path = estimate_pattern_rows(("?x", "P19+", "Q90"), stats)
+    # the UNINFLATED estimate ties the plain predicate (the round-6
+    # behavior this guards against)...
+    assert estimate_pattern_rows(
+        ("?x", "P19+", "Q90"), stats, path_inflation=1.0
+    ) == base
+    # ...and the default inflates it past the plain pattern
+    assert est_path == base * PATH_CLOSURE_INFLATION > base
+    order = [
+        p for p, _c in _order_patterns(
+            [("?x", "P19+", "Q90"), ("?x", "P19", "Q90")], stats
+        )
+    ]
+    assert order[0] == ("?x", "P19", "Q90")
+    # both-variables path patterns still order last (seeded walk)
+    assert estimate_pattern_rows(("?x", "P19+", "?a"), stats) == float("inf")
+
+
 def test_stats_order_changes_join_tree_not_result(stats_setup):
     t, stats_df = stats_setup
     pats = [("?x", "P31", "Q5"), ("?x", "P214", "?v")]

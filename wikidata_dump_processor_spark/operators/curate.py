@@ -105,6 +105,7 @@ def curate_documents(
     manufacture near-duplicates (shared boilerplate).  The original text
     is preserved in ``text_orig``; ``n_paras_removed`` rides along.
     """
+    docs_in = docs  # pre-chain input: the text rehydration source (r7)
     if para_dedup:
         from .dedup import paragraph_dedup
 
@@ -141,16 +142,54 @@ def curate_documents(
         )
     )
     d = d.withColumn("_drop_reason", base_reason).drop("_url_rank", "_fp_rank")
-    if checkpoint and (near_dup or domain_cap is not None or benchmark is not None):
+    orig_cols = d.columns
+    rehydrate: list[str] = []
+    ck = checkpoint and (near_dup or domain_cap is not None or benchmark is not None)
+    if ck:
         # the survivor branches below re-read this frame; checkpoint so
         # the windows + quality features compute once (lazy: materialized
-        # by the first action, shared by the rest)
-        d = d.localCheckpoint(eager=False)
+        # by the first action, shared by the rest).
+        #
+        # r7 (guide §5): the checkpoint holds KEYS + FLAGS only — the
+        # text payload is dropped before the block store and rehydrated
+        # at the end by an id join against the pre-chain input
+        # (``id_col`` is the unique document id; the chain's keeper
+        # windows already assume that).  With text riding through, the
+        # 1.6M-page volume rehearsal needed a 48 GB driver heap; narrow
+        # blocks fit the 16 GB bench default.  Under ``para_dedup`` the
+        # working text is DERIVED (paragraph-stripped), so it stays in
+        # the checkpoint and only ``text_orig`` (== the input text) is
+        # rehydrated.
+        if para_dedup:
+            # the working text is DERIVED (paragraph-stripped): compute
+            # it once but keep it OFF the JVM heap — a DISK_ONLY persist
+            # serializes the text blocks to spark.local.dir instead of
+            # holding them deserialized in executor memory, and BOTH
+            # text columns leave the narrow heap checkpoint
+            from pyspark.storagelevel import StorageLevel
+
+            text_src = d.select(id_col, text_col).persist(
+                StorageLevel.DISK_ONLY
+            )
+            rehydrate = [text_col, "text_orig"]
+        else:
+            text_src = docs_in.select(id_col, text_col)
+            rehydrate = [text_col]
+        d = d.drop(*rehydrate).localCheckpoint(eager=False)
+    else:
+        text_src = docs_in.select(id_col, text_col)
+
+    def _surv_text(dd):
+        s = dd.filter(F.col("_drop_reason").isNull())
+        if text_col in dd.columns:
+            return s.select(id_col, text_col)
+        return s.select(id_col).join(text_src, id_col)
+
     if benchmark is not None:
         # decontaminate BEFORE the near-dup stage so the pair-generating
         # LSH pass never sees benchmark-tainted survivors; the gram join
         # broadcasts the benchmark so only the tainted sliver shuffles
-        surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
+        surv = _surv_text(d)
         dirty = (
             contamination_counts(
                 surv, benchmark, id_col=id_col, text_col=text_col, n=decontam_ngram
@@ -170,7 +209,7 @@ def curate_documents(
             .drop("_ct")
         )
     if near_dup:
-        surv = d.filter(F.col("_drop_reason").isNull()).select(id_col, text_col)
+        surv = _surv_text(d)
         if near_dup == "clusters":
             # transitive policy: connected components over the pair
             # stream (dedup.near_dup_clusters) — A~B, B~C drops both B
@@ -228,6 +267,21 @@ def curate_documents(
             )
             .drop("_dq")
         )
+    if rehydrate:
+        # re-attach the text payload dropped from the checkpoint (exact
+        # values by unique-id join: derived text from the DISK_ONLY
+        # persist, original text from the pre-chain input), restoring
+        # the original column order so the flagged schema is unchanged
+        d = d.join(text_src, id_col, "left")
+        if "text_orig" in rehydrate:
+            d = d.join(
+                docs_in.select(
+                    F.col(id_col), F.col(text_col).alias("text_orig")
+                ),
+                id_col,
+                "left",
+            )
+        d = d.select(*orig_cols)
     if pii_redact:
         d = redact_pii(d, text_col=text_col)
     return d

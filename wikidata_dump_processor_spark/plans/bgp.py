@@ -124,16 +124,32 @@ def _normalize_pattern(pattern):
     return pattern
 
 
-def estimate_pattern_rows(pattern, stats: dict) -> float:
+PATH_CLOSURE_INFLATION = 8.0
+"""Estimated mean reachable-set size of a ``+``/``*`` closure relative
+to the plain predicate (r7, VERDICT r6 #6): a closure pattern's output
+inflates by the hierarchy's mean reachable-set size, so pricing
+``?x P279+ Q100`` like plain ``P279`` could hand the first-leaf slot to
+a path pattern over an equally selective plain pattern — and a closure
+first-leaf seeds the walk with the whole predicate instead of the
+bound ids.  8x is a conservative prior for real class/taxon
+hierarchies (shallow, branching); callers with better knowledge pass
+``path_inflation`` explicitly."""
+
+
+def estimate_pattern_rows(
+    pattern, stats: dict, path_inflation: float = PATH_CLOSURE_INFLATION
+) -> float:
     """Estimated result cardinality of one pattern from per-predicate
     table statistics ``{pred: (n_triples, n_subj, n_obj)}`` (the
     operators/triples.predicate_stats report) under the uniform
     assumption: a constant subject divides by the predicate's distinct
     subjects, a constant object by its distinct objects; a variable
     predicate sums the per-predicate estimates; a predicate absent from
-    the stats matches nothing (0.0 — maximally selective).  Both-
-    variables path patterns return +inf: they must order last so their
-    walk runs seeded (see _score)."""
+    the stats matches nothing (0.0 — maximally selective).  A
+    single-endpoint ``+``/``*`` closure pattern is inflated by
+    ``path_inflation`` (its output is the reachable set, not one hop).
+    Both-variables path patterns return +inf: they must order last so
+    their walk runs seeded (see _score)."""
     s, pred, o = pattern
     po = _path_op(pattern)
     if po is not None and is_var(s) and is_var(o):
@@ -149,9 +165,13 @@ def estimate_pattern_rows(pattern, stats: dict) -> float:
         return est
 
     if is_var(base):
-        return float(sum(one(*v) for v in stats.values()))
-    v = stats.get(base)
-    return 0.0 if v is None else one(*v)
+        est = float(sum(one(*v) for v in stats.values()))
+    else:
+        v = stats.get(base)
+        est = 0.0 if v is None else one(*v)
+    if po is not None and po[1] in ("+", "*"):
+        est *= path_inflation
+    return est
 
 
 def _order_patterns(
