@@ -126,12 +126,18 @@ def connected_components(
       planned mid-loop must not silently compile with AQE off)."""
     spark = edges.sparkSession
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    # lazy checkpoint: the count below materializes it — one job, and the
-    # loop's lineage is truncated from the start (plan growth hazard).
+    # lazy checkpoint: the probe below materializes it — and the loop's
+    # lineage is truncated from the start (plan growth hazard).
     e = e.localCheckpoint(eager=False)
+    # ONE bounded job decides the regime AND feeds the small one (r7):
+    # collecting threshold+1 rows replaces the former count()-then-
+    # collect() pair; the driver transfer is capped at ~threshold rows
+    # either way, and union-find output is edge-order-independent
+    # (component = min id).
+    probe = e.limit(driver_edge_threshold + 1).collect()
+    if len(probe) <= driver_edge_threshold:
+        return _driver_cc(spark, [(r[0], r[1]) for r in probe])
     n_edges = e.count()
-    if n_edges <= driver_edge_threshold:
-        return _driver_cc(spark, [(r[0], r[1]) for r in e.collect()])
 
     def _sig(df):
         # one cheap job: (row count, order-insensitive hash sum) identifies
