@@ -220,3 +220,19 @@ def test_predicate_stats_sketch_within_rsd(spark):
         # tight enough that a broken sketch (e.g. constant) fails
         assert abs(asbj - s) <= max(2, 0.10 * s), (pred, s, asbj)
         assert abs(aobj - o) <= max(2, 0.10 * o), (pred, o, aobj)
+
+
+def test_authctrl_claim_triples_equals_filtered_extract(spark):
+    """The CC loop's map-lookup slice (r7) must be row-for-row equal to
+    the full explode filtered to the authctrl predicates — including
+    duplicate multiplicity (identifier_edges dedups later, but the
+    contract here is the triple multiset)."""
+    from wikidata_dump_processor_spark.schemas import AUTHCTRL_PRED
+
+    parsed = TR.parse_entities(extract_text(datagen.gen_pages(spark, 400)))
+    full = sorted(
+        tuple(r) for r in TR.extract_triples(parsed)
+        .filter(F.col("pred").isin(AUTHCTRL_PRED)).collect()
+    )
+    fast = sorted(tuple(r) for r in TR.authctrl_claim_triples(parsed).collect())
+    assert fast == full and len(fast) > 0

@@ -189,6 +189,46 @@ def extract_triples(parsed: DataFrame) -> DataFrame:
     return claim_triples(items).unionByName(mention_regex_triples(items))
 
 
+def authctrl_claim_triples(parsed: DataFrame, preds: list[str] | None = None) -> DataFrame:
+    """The authority-control slice of ``extract_triples`` via direct map
+    lookups (``claims[pred]`` for the 6 known predicates) — ONE scan of
+    the parsed snapshot, no claim explode, no raw-record regex scan.
+
+    Row-for-row equal to ``extract_triples(parsed).filter(pred.isin(preds))``
+    (asserted by a pytest): the mention branch only emits non-authctrl
+    predicates, and every authctrl predicate is a transform=0 filter-bank
+    entry, so this reproduces ``claim_triples``' first-snak projection,
+    snaktype/value gates, and ``extract_value`` path exactly.  Built for
+    the pipeline's CC loop, which otherwise waits on the full triples
+    snapshot (or re-runs the whole claim explode) just to read 6
+    predicates' first snaks."""
+    preds = preds or AUTHCTRL_PRED
+    items = item_entities(parsed)
+    per_pred = F.array(*[
+        F.struct(
+            F.lit(pred).alias("pred"),
+            F.try_element_at(F.col("claims").getItem(pred), F.lit(1)).alias("snak"),
+            F.lit(FILTER_BANK[pred][1]).alias("transform"),
+        )
+        for pred in preds
+    ])
+    c = items.select("url", "id", F.explode(per_pred).alias("s")).select(
+        "url",
+        "id",
+        F.col("s.pred").alias("pred"),
+        F.try_variant_get("s.snak", "$.mainsnak.snaktype", "string").alias("snaktype"),
+        F.try_variant_get("s.snak", "$.mainsnak.datavalue.value", "variant").alias("value"),
+        F.col("s.transform").alias("transform"),
+    )
+    c = c.filter((F.col("snaktype") == "value") & F.col("value").isNotNull())
+    return c.select(
+        F.col("id").alias("subj"),
+        "pred",
+        extract_value(F.col("value"), F.col("transform")).alias("obj"),
+        F.col("url").alias("src_url"),
+    )
+
+
 def all_snak_values(items: DataFrame, pred: str) -> DataFrame:
     """All-statement value export for one property (wdq2.pl:522-552
     ``get_snak_values``): every snak of the claim array; snaktype!=value

@@ -216,30 +216,68 @@ def _list_stage_files(spark: SparkSession, path: str, suffix: str = ".parquet"):
     return (str(scheme) if scheme is not None else None), base, files
 
 
-def _partition_metrics(spark: SparkSession, path: str) -> dict:
-    """Per-file row counts for the lineage manifest.  Listing always goes
-    through the Hadoop FS API; on a local filesystem the counts come
-    straight from the parquet footers (metadata only, no Spark job), on
-    remote stores (or for footers pyarrow cannot read, e.g. the VARIANT
-    logical type in the extract stage) one bounded Spark job groups rows
-    by the ``_part_id`` lineage column instead."""
-    import pyarrow.parquet as pq
+def _local_footer_rows(base: str, rels: list[str]) -> dict | None:
+    """Per-file row counts from local parquet footers, no Spark job.
+    duckdb's ``parquet_file_metadata`` reads every footer the engine
+    writes (including the VARIANT logical type pyarrow rejects) in one
+    in-process call (~10 ms for 64 files vs ~0.4 s for the Spark-job
+    fallback); pyarrow is the fallback, None means "use a Spark job"."""
+    if not rels:
+        return {}
+    try:
+        import duckdb
 
-    scheme, base, files = _list_stage_files(spark, path)
-    n_bytes = sum(b for _, b in files)
-    if scheme in (None, "file"):
-        try:
-            per_file = {
-                rel: pq.read_metadata(os.path.join(base, rel)).num_rows
-                for rel, _ in files
-            }
+        lit = ", ".join("'" + os.path.join(base, r).replace("'", "''") + "'"
+                        for r in rels)
+        rows = duckdb.sql(
+            f"SELECT file_name, num_rows FROM parquet_file_metadata([{lit}])"
+        ).fetchall()
+        per_file = {os.path.relpath(f, base): int(n) for f, n in rows}
+        if set(per_file) == set(rels):
+            return per_file
+    except Exception:  # noqa: BLE001 — any failure falls through to pyarrow
+        pass
+    try:
+        import pyarrow.parquet as pq
+
+        return {
+            rel: pq.read_metadata(os.path.join(base, rel)).num_rows
+            for rel in rels
+        }
+    except OSError:
+        return None
+
+
+def _partition_metrics(spark: SparkSession, path: str) -> dict:
+    """Per-file row counts for the lineage manifest.  Local paths (bare or
+    file:-scheme) list with ``os.walk`` and count rows straight from the
+    parquet footers (metadata only, no Spark job, no per-file py4j round
+    trips — measured 0.3-0.6 s/stage of pure driver overhead before r7);
+    remote stores list through the Hadoop FS API and count with one
+    bounded Spark job grouped by the ``_part_id`` lineage column."""
+    local = None
+    if path.startswith("file://"):
+        local = path[len("file://"):]
+    elif "://" not in path:
+        local = path
+    if local is not None and os.path.isdir(local):
+        files: list[tuple[str, int]] = []
+        for root, _, fs in os.walk(local):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    files.append((os.path.relpath(fp, local), os.path.getsize(fp)))
+        n_bytes = sum(b for _, b in files)
+        per_file = _local_footer_rows(local, [r for r, _ in files])
+        if per_file is not None:
             return {
                 "rows": sum(per_file.values()),
                 "bytes": n_bytes,
                 "partitions": per_file,
             }
-        except OSError:
-            pass  # unreadable footer -> Spark-job fallback below
+    else:
+        _, _, files = _list_stage_files(spark, path)
+        n_bytes = sum(b for _, b in files)
     df = spark.read.parquet(path)
     rows = df.groupBy("_part_id").count().collect() if "_part_id" in df.columns else []
     return {
@@ -523,7 +561,10 @@ def run_pipeline(
         salt = F.pmod(F.xxhash64("subj"), F.lit(n_salts))
         return df.repartition(F.col("pred"), salt)
 
-    with ThreadPoolExecutor(max_workers=max(1, min(4, slots // 2))) as pool:
+    # one slot per submitted job (4 stages + CC remap + optional curate),
+    # still degrading to sequential at low task-slot counts (see above)
+    n_jobs = 5 + (1 if curate else 0)
+    with ThreadPoolExecutor(max_workers=max(1, min(n_jobs, slots // 2))) as pool:
         f_triples = pool.submit(
             _write_stage, spark, man, "triples", fp,
             lambda: by_pred_salted(TR.extract_triples(parsed)),
@@ -587,23 +628,32 @@ def run_pipeline(
                 )
 
             f_curate = pool.submit(_curate_job)
-        triples = f_triples.result()
 
         # NON-identity remap only (bounded by merges, not subjects): the
         # full canonical map would cost a distinct over every subject —
         # the rewrite's coalesce supplies identity mappings implicitly.
         # Identifier edges live exclusively on the AUTHCTRL predicates of
         # the CLAIM triples (mention triples carry pred='Pmention' and
-        # contribute no edge), so the CC loop needs only the committed
-        # triples snapshot — submitted into the same pool, it overlaps
-        # the items/mentions stages instead of sitting on the critical
-        # path, and its authctrl filter partition-prunes the pred-
-        # partitioned snapshot.  Skipped entirely on resume.
+        # contribute no edge).  On a FRESH run the CC loop re-derives
+        # exactly that slice from the committed ``parsed`` snapshot via
+        # direct ``claims[pred]`` lookups (TR.authctrl_claim_triples —
+        # one scan, no claim explode), so it overlaps the triples WRITE
+        # instead of serializing behind it (r7 — the group's critical
+        # path was triples-write + cc_loop back to back;
+        # identifier_edges sees the exact same (subj, pred, obj) rows
+        # either way, pytest-asserted).  On RESUME with a committed
+        # triples snapshot the authctrl filter partition-prunes the
+        # pred-partitioned layout, which is cheaper still, so that path
+        # reads the snapshot.
         def _remap_job():
             t0 = time.time()
-            r = canonical_remap(
-                triples.select("subj", "pred", "obj", "src_url")
-            ).localCheckpoint(eager=False)
+            if man.done("triples", fp):
+                src = spark.read.parquet(
+                    man.stages["triples"]["path"]
+                ).select("subj", "pred", "obj", "src_url")
+            else:
+                src = TR.authctrl_claim_triples(parsed)
+            r = canonical_remap(src).localCheckpoint(eager=False)
             # count once (materializes the checkpoint), reuse for the
             # broadcast size gate AND the manifest metrics
             n = r.count()
@@ -614,6 +664,7 @@ def run_pipeline(
         f_remap = (
             pool.submit(_remap_job) if not man.done("canonical", fp) else None
         )
+        triples = f_triples.result()
         items = f_items.result()
         props = f_props.result()
         linked = f_linked.result()
