@@ -294,10 +294,35 @@ def wordset_similarity_join(
     n_shared = sum(
         F.expr(f"bit_count(ma{c} & mb{c})") for c in range(n_chunks)
     )
+    # A pair that shares k prefix tokens is generated k times by the join;
+    # instead of a multi-million-row ``distinct`` at the end, keep ONLY
+    # the instance joined on the pair's LOWEST shared word id (r7):
+    # ``lower_common`` masks the shared tokens strictly below the joined
+    # ``wid``, so exactly one instance per pair survives — the lowest
+    # shared token is always in BOTH prefixes (prefixes are each doc's
+    # lowest wids, and any shared token at or below a prefix member is a
+    # prefix member too), and among instances it carries the smallest
+    # (ra, rb), i.e. the LEAST restrictive positional filter, so the
+    # kept instance passes the filters iff any instance does.  Every
+    # duplicate is dropped by two long ANDs instead of a shuffle, and
+    # the verify filters evaluate once per pair.
+    lower_common = None
+    for c in range(n_chunks):
+        seg = F.col(f"ma{c}").bitwiseAND(F.col(f"mb{c}"))
+        part = (
+            F.when(F.col("wid") >= (c + 1) * 64, seg)
+            .when(
+                F.col("wid") >= c * 64,
+                seg.bitwiseAND(F.expr(f"shiftleft(1L, int(wid - {c * 64})) - 1L")),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        lower_common = part if lower_common is None else lower_common.bitwiseOR(part)
     return (
         a.join(b, ["grp", "wid"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
+            & (lower_common == 0)
             & (F.least("na", "nb") * 100 >= F.greatest("na", "nb") * tp)
             & (
                 F.lit(1)
@@ -312,7 +337,6 @@ def wordset_similarity_join(
             >= threshold
         )
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

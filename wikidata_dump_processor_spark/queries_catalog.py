@@ -31,8 +31,27 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+# Tables whose queries run heavy PER-ROW kernels (tokenize / shingle /
+# hash / vector math).  The driver ships them as single parquet files
+# with ~1M-row row groups, so the scan plans 1-2 tasks and the whole map
+# side of minhash/simhash/wordset/knn runs nearly serial (measured: kg8's
+# signature pass 6.8 s with 1 scan task vs 1.5 s spread).  Guide §2.5
+# ("one huge unsplittable file — repartition immediately after the
+# read"): spread ONLY scans narrower than the session's parallelism —
+# multi-file production inputs already plan wide and pass through
+# untouched.  Aggregate-dominated tables (lineitem &c) are NOT spread: a
+# pre-aggregation shuffle of the fact table would cost more than the
+# serial scan saves.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        slots = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < slots:
+            df = df.repartition(slots)
+    return df
 
 
 def _dec(c, p=18, s=2):
