@@ -197,6 +197,14 @@ def curate_documents(
             .select(F.col(id_col))
             .withColumn("_ct", F.lit(True))
         )
+        if ck:
+            # bounded id list, but its SUBTREE is the whole decontam
+            # pass — every later branch (near-dup survivors, quota
+            # survivors, the final frame) embeds this join, and Spark
+            # has no cross-subtree CSE, so without a checkpoint the
+            # pass re-runs once per branch (r7: measured as the chain's
+            # dominant cost at 50k docs)
+            dirty = dirty.localCheckpoint(eager=False)
         d = (
             d.join(dirty, id_col, "left")
             .withColumn(
@@ -238,6 +246,13 @@ def curate_documents(
                 .distinct()
                 .withColumn("_nd", F.lit(True))
             )
+        if ck:
+            # same economy as ``dirty`` above: the quota step's survivor
+            # set and the final flagged frame both embed this join, so
+            # without a checkpoint the entire LSH pass runs once per
+            # branch (the signature cache inside minhash_lsh_pairs only
+            # covers the signatures, not banding/verify/joins)
+            losers = losers.localCheckpoint(eager=False)
         d = (
             d.join(losers, id_col, "left")
             .withColumn(

@@ -31,26 +31,28 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-# Tables whose queries run heavy PER-ROW kernels (tokenize / shingle /
-# hash / vector math).  The driver ships them as single parquet files
-# with ~1M-row row groups, so the scan plans 1-2 tasks and the whole map
-# side of minhash/simhash/wordset/knn runs nearly serial (measured: kg8's
-# signature pass 6.8 s with 1 scan task vs 1.5 s spread).  Guide §2.5
-# ("one huge unsplittable file — repartition immediately after the
-# read"): spread ONLY scans narrower than the session's parallelism —
-# multi-file production inputs already plan wide and pass through
-# untouched.  Aggregate-dominated tables (lineitem &c) are NOT spread: a
-# pre-aggregation shuffle of the fact table would cost more than the
-# serial scan saves.
-_SPREAD_TABLES = {"documents", "embeddings"}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` for queries with heavy PER-ROW kernels (tokenize / shingle /
+    seeded hashing / regex banks / vector math).  The driver ships the
+    bench tables as single parquet files with ~1M-row row groups, so the
+    scan plans 1-2 tasks and the whole map side of minhash / simhash /
+    wordset / knn / textstats runs nearly serial (measured: kg8's
+    signature pass 6.8 s on 1 scan task vs 1.4 s spread; knn scoring
+    2.0 s vs 0.9 s).  Guide §2.5 ("one huge unsplittable file —
+    repartition immediately after the read"): spread ONLY scans narrower
+    than the session's parallelism — multi-file production inputs
+    already plan wide and pass through untouched.  Light-kernel queries
+    (single md5, point filters) and aggregate-dominated fact tables keep
+    the plain reader: shuffling the payload costs more than the serial
+    scan saves there (measured on d1: +0.09 s at sf0.1)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _SPREAD_TABLES:
-        slots = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < slots:
-            df = df.repartition(slots)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
     return df
 
 
@@ -645,7 +647,7 @@ def _q_d2(spark, sf_dir):
 def _q_t1(spark, sf_dir):
     from .operators.textstats import token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
@@ -672,7 +674,7 @@ def _q_t1(spark, sf_dir):
 def _q_t2(spark, sf_dir):
     from .operators.textstats import detect_language
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return detect_language(d).select("doc_id", "lang_detected")
 
 
@@ -680,7 +682,7 @@ def _q_t2(spark, sf_dir):
 def _q_d4(spark, sf_dir):
     from .operators.textstats import rolling_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp_rolling"))
 
 
@@ -719,7 +721,7 @@ def _t3_sql():
 def _q_t3(spark, sf_dir):
     from .operators.textstats import quality_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     f = quality_features(d)
     return f.select(
         "doc_id",
@@ -756,7 +758,7 @@ def _q_d3(spark, sf_dir):
     # without the sum(f_w^2) candidate blowup (657 s -> seconds at sf1.0)
     from .operators.dedup import wordset_similarity_join
 
-    return wordset_similarity_join(_t(spark, sf_dir, "documents"), threshold=0.9)
+    return wordset_similarity_join(_tw(spark, sf_dir, "documents"), threshold=0.9)
 
 
 @q(
@@ -778,7 +780,7 @@ def _q_d3(spark, sf_dir):
 def _q_v1(spark, sf_dir):
     from .operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -894,14 +896,14 @@ def _q_kg7(spark, sf_dir):
 def _q_kg8(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_pairs(_tw(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @q("kg9_simhash_near_dups", f"SELECT id_a, id_b, hamming FROM {_gp('simhash_pairs')}")
 def _q_kg9(spark, sf_dir):
     from .operators.dedup import simhash_near_pairs
 
-    df = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    df = simhash_near_pairs(_tw(spark, sf_dir, "documents"), max_hamming=8)
     return df.withColumn("hamming", F.col("hamming").cast("long"))
 
 
@@ -909,7 +911,7 @@ def _q_kg9(spark, sf_dir):
 def _q_kg10(spark, sf_dir):
     from .operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -940,7 +942,7 @@ def _q_kg10(spark, sf_dir):
 def _q_kg19(spark, sf_dir):
     from .operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1146,7 +1148,7 @@ def _pii_text() -> F.Column:
 def _q_pii1(spark, sf_dir):
     from .operators.pii import PII_PATTERNS, pii_counts
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _tw(spark, sf_dir, "documents").select(
         "doc_id", _pii_text().alias("text")
     )
     cnt_cols = [f"pii_{n}_count" for n in PII_PATTERNS] + ["pii_total_count"]
@@ -1164,7 +1166,7 @@ def _q_t4(spark, sf_dir):
     # non-trivial
     t = F.replace(F.col("text"), F.lit(" table "), F.lit("\n\n"))
     t = F.replace(t, F.lit(" value "), F.lit("\n"))
-    d = _t(spark, sf_dir, "documents").select("doc_id", t.alias("text"))
+    d = _tw(spark, sf_dir, "documents").select("doc_id", t.alias("text"))
     return repetition_features(d).select(
         "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
         "top_bigram_frac",
@@ -1191,7 +1193,7 @@ def _q_d5(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("\n\nIntro"),
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id", framed.alias("text")
     )
     return paragraph_dedup(docs, id_col="doc_id").select(
@@ -1214,7 +1216,7 @@ _LEAK_SENTENCE = (
 def _q_d6(spark, sf_dir):
     from .operators.decontam import contamination_counts
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     # benchmark = every 17th doc's ORIGINAL text + the leak sentence;
     # corpus = docs with the leak appended for doc_id % 10 == 3
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text").unionByName(
@@ -1258,7 +1260,7 @@ def _q_g2(spark, sf_dir):
 def _q_cur1(spark, sf_dir):
     from .operators.curate import curate_documents
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
         "url", _synth_url()
     )
     flagged = curate_documents(
