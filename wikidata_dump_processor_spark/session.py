@@ -65,6 +65,19 @@ def get_spark(
             "spark.hadoop.parquet.compression.codec.zstd.level",
             os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
         )
+        # Input split size (r7, guide §6): the bench ships each table as
+        # ONE parquet file with ~1M-row (~20 MB) row groups, so the
+        # default 128 MB splits leave a 130 MB fact-table scan at 1-2
+        # tasks; 32 MB splits let every row group scan in its own task
+        # (measured: a1 1.23 -> 1.09 s, w2 0.41 -> 0.31 s at 10x bench
+        # scale; pipeline unchanged).  Splits never cut INSIDE a row
+        # group, so this is row-group-granularity parallelism, not task
+        # spam.  Production deployments with many large files want
+        # 128 MB - 1 GB (guide §6) via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Pin the heap (-Xms == -Xmx) and pre-touch it: G1's incremental
