@@ -36,7 +36,11 @@ import sys
 import time
 
 LOCK_PATH = os.environ.get("BENCH_LOCK_PATH", "/tmp/wdp_spark_bench.lock")
-_BENCH_MARKERS = ("bench.py", "scaling_bench.py")
+# every lock-taking measurement entrypoint — a JVM whose ancestry carries
+# none of these is foreign.  volume_curate.py was missing (r7): its own
+# child JVM self-flagged as foreign, making every volume artifact carry a
+# false concurrent_spark_detected verdict.
+_BENCH_MARKERS = ("bench.py", "scaling_bench.py", "volume_curate.py")
 
 # module-level so the fd (and with it the flock) lives for the process
 _LOCK_FH = None

@@ -123,19 +123,23 @@ def lsh_topk(
     q = queries.select(
         "query_id", F.col(vec_col).cast("array<double>").alias("q")
     ).withColumn("qn", _norm(F.col("q")))
-    cand = None
-    for t in range(n_tables):
-        planes = [_hyperplane(dim, b, t) for b in range(n_bits)]
-        vb = v.withColumn("bucket", lsh_signature(F.col("v"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        qb = q.withColumn("bucket", lsh_signature(F.col("q"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        c = qb.join(vb, ["table", "bucket"]).select(
-            "query_id", "q", "qn", "neighbor_id", "v", "vn"
-        )
-        cand = c if cand is None else cand.unionByName(c)
+    # ONE pass per side (r7): the per-table loop unioned n_tables plan
+    # branches, each re-scanning its input to compute one table's
+    # signature; posexploding an array of all n_tables signatures emits
+    # the same (table, bucket) rows from a single scan.  Signature
+    # values are identical — same _hyperplane planes per (table, bit).
+    def _buckets(df, vec, keep):
+        sigs = F.array(*[
+            lsh_signature(F.col(vec), [_hyperplane(dim, b, t) for b in range(n_bits)])
+            for t in range(n_tables)
+        ])
+        return df.select(*keep, F.posexplode(sigs).alias("table", "bucket"))
+
+    vb = _buckets(v, "v", ["neighbor_id", "v", "vn"])
+    qb = _buckets(q, "q", ["query_id", "q", "qn"])
+    cand = qb.join(vb, ["table", "bucket"]).select(
+        "query_id", "q", "qn", "neighbor_id", "v", "vn"
+    )
     cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
