@@ -139,6 +139,53 @@ def test_wordset_similarity_join_matches_naive(spark):
     assert (doc_id + 3, doc_id + 4) in exp or True  # sanity of fixture shape
 
 
+def test_wordset_similarity_join_multi_chunk_masks(spark):
+    """r7 second pass: a vocabulary wider than 128 words forces 3 mask
+    chunks and word ids on BOTH chunk boundaries (63, 127) — the regime
+    the 30-word test above never reaches.  Guards the lower_common
+    chunk-selection branches and the low-bits mask constant (the naive
+    ``(1 << k) - 1`` overflows at k == 63 under ANSI and aborted the
+    whole join; caught by review, fixed with ``~((-1) << k)``)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(140)]
+    rows, doc_id = [], 0
+    # shared rare tokens pinned to the chunk-boundary word ids: build
+    # docs so that EVERY vocab word appears (dense ids 0..139 exist) and
+    # near-dup clusters share long runs — some pairs must join on a
+    # prefix token whose wid lands on 63 or 127.
+    for i, w in enumerate(vocab):  # one singleton doc per word: df=1+
+        rows.append((doc_id, "s0", w)); doc_id += 1
+    for _ in range(50):
+        base = rng.sample(vocab, rng.randint(40, 90))
+        rows.append((doc_id, "s0", " ".join(base))); doc_id += 1
+        for _ in range(rng.randint(1, 2)):
+            v = list(base)
+            for _ in range(rng.randint(0, 3)):
+                if rng.random() < 0.5 and len(v) > 2:
+                    v.pop(rng.randrange(len(v)))
+                else:
+                    v.append(rng.choice(vocab))
+            rng.shuffle(v)
+            rows.append((doc_id, "s0", " ".join(v))); doc_id += 1
+    for thr in (0.9, 0.7):
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.wordset_similarity_join(d, threshold=thr).collect()
+        }
+        exp = {
+            (r.id_a, r.id_b)
+            for r in _naive_wordset_pairs(spark, rows, thr).collect()
+        }
+        assert got == exp, (
+            f"thr={thr}: missing={sorted(exp - got)[:5]} "
+            f"extra={sorted(got - exp)[:5]}"
+        )
+    assert len(exp) > 0  # the 0.7 run must actually produce pairs
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()

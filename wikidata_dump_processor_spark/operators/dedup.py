@@ -309,11 +309,15 @@ def wordset_similarity_join(
     lower_common = None
     for c in range(n_chunks):
         seg = F.col(f"ma{c}").bitwiseAND(F.col(f"mb{c}"))
+        # k low bits as ~((-1) << k): well-defined for k in [0, 63] —
+        # the naive (1 << k) - 1 overflows at k == 63 under ANSI mode
         part = (
             F.when(F.col("wid") >= (c + 1) * 64, seg)
             .when(
                 F.col("wid") >= c * 64,
-                seg.bitwiseAND(F.expr(f"shiftleft(1L, int(wid - {c * 64})) - 1L")),
+                seg.bitwiseAND(
+                    F.expr(f"~ shiftleft(-1L, int(wid - {c * 64}))")
+                ),
             )
             .otherwise(F.lit(0).cast("long"))
         )

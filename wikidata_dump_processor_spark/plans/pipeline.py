@@ -259,7 +259,17 @@ def _partition_metrics(spark: SparkSession, path: str) -> dict:
     if path.startswith("file://"):
         local = path[len("file://"):]
     elif "://" not in path:
-        local = path
+        # a bare path is NOT necessarily local: with fs.defaultFS set to
+        # a remote store the stage data lives there even though a
+        # same-named directory may exist on the driver's disk.  One py4j
+        # call resolves the scheme (vs the per-FILE round trips this
+        # fast path removes).
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        scheme = fs.makeQualified(hpath).toUri().getScheme()
+        if scheme in (None, "file"):
+            local = path
     if local is not None and os.path.isdir(local):
         files: list[tuple[str, int]] = []
         for root, _, fs in os.walk(local):
