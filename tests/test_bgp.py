@@ -641,3 +641,19 @@ def test_bound_path_seeds_from_object_side(path_triples):
     )
     got = {(r["anc"], r["x"]) for r in star.collect()}
     assert got == {("Q2", "Q1"), ("Q2", "Q2")}
+
+
+def test_minus_guard_on_multivar_nullable_shared(triples):
+    # r7 (ADVICE r6): a MINUS group sharing an OPTIONAL-nullable var
+    # PLUS another bound var is the shape where SQL anti-join NULL
+    # semantics silently diverge from SPARQL's compatibility rule —
+    # must refuse loudly.  The single-shared-var form (exercised by
+    # test_minus_after_optional_null_rows_survive) agrees with SPARQL
+    # exactly and stays allowed.
+    with pytest.raises(ValueError, match="OPTIONAL-nullable"):
+        match_patterns(
+            triples,
+            [("?x", "P31", "?c")],
+            optional=[[("?x", "P19", "?pl")]],
+            minus=[[("?x", "P19", "?pl")]],
+        )

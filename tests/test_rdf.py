@@ -219,6 +219,12 @@ def test_reader_unescapes_full_echar_and_uchar(spark):
         (P + '"lone\\uD800kept" .', "lone\\uD800kept"),
         (P + '"bad\\uZZZZkept" .', "bad\\uZZZZkept"),
         (P + '"big\\U00110000kept" .', "big\\U00110000kept"),
+        # a LONE high surrogate must not suppress the escape after it
+        # (ADVICE r6: the split glued them into one undecodable segment)
+        (P + '"stray\\uD800\\u0041end" .', "stray\\uD800Aend"),
+        (P + '"stray\\uD800\\uD83D\\uDE00!" .', "stray\\uD800😀!"),
+        (P + '"run\\uD800\\uD801\\u0042" .', "run\\uD800\\uD801B"),
+        (P + '"strayU\\uD800\\U0001F600" .', "strayU\\uD800😀"),
         # escaped backslash shields the u: literal backslash + "u0041"
         (P + '"mix\\\\u0041" .', "mix\\u0041"),
         # \ decodes to a backslash; the following n stays a letter

@@ -77,14 +77,36 @@ def _ancestors(pid: int, max_depth: int = 64) -> list[int]:
     return chain
 
 
+def _environ_token(pid: int) -> str | None:
+    """The BENCH_LOCK_PID value in a process's environment, if any."""
+    try:
+        with open(f"/proc/{pid}/environ", "rb") as f:
+            raw = f.read()
+    except OSError:
+        return None
+    for part in raw.split(b"\0"):
+        if part.startswith(b"BENCH_LOCK_PID="):
+            return part.split(b"=", 1)[1].decode("ascii", "replace")
+    return None
+
+
 def foreign_spark_jvms() -> list[int]:
-    """PIDs of Spark JVMs not belonging to this bench job.  A JVM is
-    OWNED when the calling process is among its ancestors (our own
-    driver/gateway JVM and any fresh-JVM window children), or when a
-    bench-marker process is (the cross-generation case: a parent
-    bench's lingering gateway JVM seen from a window child).  Cheap:
-    one /proc sweep."""
+    """PIDs of Spark JVMs not belonging to this bench job.
+
+    Ownership anchor (ADVICE r6): the lock holder exports
+    ``BENCH_LOCK_PID=<holder pid>`` BEFORE any Spark JVM starts, so
+    every JVM of this job (driver/gateway, fresh-JVM window children,
+    even one orphaned and reparented to PID 1) carries the token in its
+    environment — a job-specific anchor instead of matching script
+    basenames, which both masked real contamination from any unrelated
+    script that happened to be called bench.py and false-flagged
+    orphaned own JVMs.  A JVM is OWNED when the calling process is
+    among its ancestors, or its environment carries OUR lock token.
+    The basename-marker heuristic survives only as the fallback for
+    callers outside a lock-holding job (no token in our environment).
+    Cheap: one /proc sweep."""
     self_pid = os.getpid()
+    own_token = os.environ.get("BENCH_LOCK_PID")
     out = []
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
@@ -96,14 +118,21 @@ def foreign_spark_jvms() -> list[int]:
         if "spark" not in " ".join(argv).lower():
             continue
         owned = False
-        for anc in _ancestors(pid):
+        if own_token is not None and _environ_token(pid) == own_token:
+            owned = True
+        for anc in ([] if owned else _ancestors(pid)):
             if anc == self_pid:
                 owned = True
                 break
-            cmd = " ".join(_cmdline(anc))
-            if any(m in cmd for m in _BENCH_MARKERS):
-                owned = True
-                break
+            if own_token is not None:
+                if _environ_token(anc) == own_token:
+                    owned = True
+                    break
+            else:
+                cmd = " ".join(_cmdline(anc))
+                if any(m in cmd for m in _BENCH_MARKERS):
+                    owned = True
+                    break
         if not owned:
             out.append(pid)
     return sorted(out)
@@ -150,4 +179,7 @@ def acquire_bench_lock(
     fh.flush()
     _LOCK_FH = fh
     os.environ["BENCH_LOCK_HELD"] = "1"  # children inherit the job lock
+    # job-specific ownership token for the foreign-JVM sweep: exported
+    # BEFORE any Spark JVM starts, inherited by every child (ADVICE r6)
+    os.environ["BENCH_LOCK_PID"] = str(os.getpid())
     return "held"

@@ -105,11 +105,17 @@ def _escape_literal(c: Column) -> Column:
 
 
 # split a segment immediately BEFORE every \uXXXX / \UXXXXXXXX escape,
-# except between a high-surrogate escape and its low-surrogate partner
-# (bounded lookbehind keeps the pair in one segment so it decodes as one
-# astral codepoint — foreign dumps that spell astral chars as UTF-16
-# pairs are spec-dubious but real)
-_UCHAR_SPLIT = r"(?<!\\u[Dd][89ABab][0-9A-Fa-f]{2})(?=\\[uU])"
+# except between a high-surrogate escape and its LOW-surrogate partner
+# (keeps a real pair in one segment so it decodes as one astral
+# codepoint — foreign dumps that spell astral chars as UTF-16 pairs are
+# spec-dubious but real).  The pair guard requires BOTH sides (r7): a
+# plain trailing lookbehind also glued a LONE high surrogate to whatever
+# escape followed it, and the combined segment matched no decode branch,
+# so a valid escape after a stray \uD8xx passed through verbatim.
+_UCHAR_SPLIT = (
+    r"(?=\\[uU])"
+    r"(?:(?<!\\u[Dd][89ABab][0-9A-Fa-f]{2})|(?!\\u[Dd][C-Fc-f]))"
+)
 _PAIR_RE = (
     r"^\\u[Dd][89ABab][0-9A-Fa-f]{2}\\u[Dd][C-Fc-f][0-9A-Fa-f]{2}"
 )

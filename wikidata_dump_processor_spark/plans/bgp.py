@@ -586,6 +586,26 @@ def match_patterns(
                 f"MINUS group {group!r} shares no variable with the "
                 "query (SPARQL would remove nothing — a query bug)"
             )
+        # NULL-semantics guard (ADVICE r6): with ONE shared variable the
+        # SQL anti-join agrees with SPARQL exactly — a NULL (unbound)
+        # value makes the domains disjoint and SPARQL MINUS keeps the
+        # row, which is also what the anti-join's no-match does.  With
+        # SEVERAL shared variables of which an OPTIONAL-nullable one is
+        # NULL while the others match, SPARQL's compatibility rule
+        # (unbound is compatible with anything) would REMOVE the row
+        # where the anti-join keeps it — refuse that shape loudly
+        # instead of silently diverging; bind the variable or split the
+        # MINUS per variable to express intent.
+        null_shared = set(shared) & maybe_null
+        if null_shared and len(shared) > 1:
+            raise ValueError(
+                f"MINUS group {group!r} shares OPTIONAL-nullable "
+                f"variable(s) {sorted(null_shared)} alongside other "
+                "shared variables — SQL anti-join NULL semantics "
+                "diverge from SPARQL's compatibility rule on "
+                "partially-bound rows; bind the variable first or "
+                "split the MINUS group"
+            )
         rhs = match_patterns(
             triples,
             group,

@@ -21,7 +21,12 @@ is installed:
   table.  Data-plane reads stay Spark: the catalog resolves a snapshot
   to its file set, Spark scans the parquet.  The sandbox ships no
   pyiceberg, so this tier is exercised by skip-marked tests
-  (tests/test_snapshots.py) and guarded by ``iceberg_available()``.
+  (tests/test_snapshots.py), guarded by ``iceberg_available()``, and
+  VALIDATED ONLY where pyiceberg is actually installed — its
+  delete+add_files transaction pattern follows the published API but
+  has never executed in this sandbox (ADVICE r6 noted exactly this;
+  ``check_duplicate_files=False`` on the add is required because the
+  same transaction's delete has not yet removed the prior references).
 
 Reads at scale: ``read_at``/``read_delta`` pass explicit file lists to
 ``spark.read.parquet`` — the exact pattern ``new_snapshot_only``
@@ -158,7 +163,12 @@ class PyIcebergSnapshotCatalog:
                 from pyiceberg.expressions import AlwaysTrue
 
                 tx.delete(AlwaysTrue())
-            tx.add_files(file_paths=files)
+            # check_duplicate_files=False (ADVICE r6): the delete above
+            # is part of THIS transaction, so for an append-style stage
+            # the surviving files are still referenced by the
+            # pre-transaction metadata and pyiceberg's duplicate-file
+            # check would reject re-registering them.
+            tx.add_files(file_paths=files, check_duplicate_files=False)
         tbl = self._table(stage)
         snap = tbl.current_snapshot()
         return snap.snapshot_id
@@ -212,8 +222,19 @@ def read_delta(spark, cat, stage: str, since_snapshot_id: int, schema=None):
     now = cat.files_at(stage, cur) if cur is not None else set()
     new = sorted(now - base)
     if not new:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        if not (now or base):
+            # JsonSnapshotCatalog.commit permits zero-file commits; with
+            # no schema and no files anywhere there is nothing to infer
+            # from — raise clearly instead of letting
+            # spark.read.parquet() fail on an empty path list (ADVICE r6)
+            raise ValueError(
+                f"stage {stage!r} has no files in either snapshot and no "
+                "schema was given — pass schema= to read an empty delta"
+            )
         ref = spark.read.parquet(*sorted(now or base)).schema
-        return spark.createDataFrame([], schema or ref)
+        return spark.createDataFrame([], ref)
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
